@@ -1,0 +1,306 @@
+"""Vectorized multi-limb Montgomery field arithmetic for TPU.
+
+This is the TPU-native replacement for the reference's vendored CGBN library
+(/root/reference/include/cgbn/). The design is deliberately *not* a
+translation of CGBN's warp-cooperative layout:
+
+- CGBN distributes the limbs of one big number across TPI warp threads and
+  communicates with ``__shfl_sync``/``__ballot_sync``
+  (cgbn_cuda.h:110, core/core_mont_wmad.cu:30-46, warp_resolver.cu:68-110).
+- Here, **all limbs of an element live in one lane's column**: an element is
+  a stack of limb *planes*, ``uint32[W, *batch]`` (W = 32-bit words,
+  little-endian), and the batch dimensions are vectorized across the VPU's
+  (8, 128) lanes. Limb loops are unrolled in Python at trace time, so there
+  is no cross-"thread" shuffle and no ballot-based carry resolution — carries
+  ripple through a fixed-depth unrolled chain of elementwise uint32 ops.
+
+Multiplication strategy (SURVEY.md §7 "hard parts"): TPU has no 32x32→64
+multiply, so arithmetic is *planned* onto 16-bit half-limbs held in uint32
+lanes. The schoolbook identity ``a*b + c + d <= (2^16-1)^2 + 2*(2^16-1) =
+2^32 - 1`` means every CIOS multiply-accumulate step fits exactly in a
+native uint32 multiply-add with no overflow, so the whole Montgomery product
+is straight-line uint32 VPU code.
+
+The Montgomery CIOS loop implements the same algorithm as CGBN's
+``core_t::mont_mul`` (core/core_mont.cu:29-77) restructured for local limbs,
+with the quotient constant ``np0 = -p^{-1} mod 2^16`` mirroring CGBN's
+``-ubinary_inverse(n0)`` (impl_cuda.cu:1008).
+
+Reduction discipline: every public op takes canonical inputs (< p) and
+returns canonical outputs (< p). This freezes the cross-backend bit-exactness
+contract (SURVEY.md §7) at the cost of one conditional subtract per op.
+
+All functions are pure jnp (traceable under jit, CPU and TPU identical) and
+broadcast over trailing batch dimensions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .fields import HALF_BITS, HALF_MASK, Field
+
+_U = jnp.uint32
+_MASK = np.uint32(HALF_MASK)
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device conversions
+# ---------------------------------------------------------------------------
+
+def from_ints(values, field: Field) -> jnp.ndarray:
+    """Pack python ints (canonical, < p) into the limb-leading device layout
+    ``uint32[W, n]`` (the framework's analog of ``cgbn_mem_t::_limbs``,
+    /root/reference/include/cgbn/cgbn_cuda.h:117-136, but limb-major so the
+    batch dim maps onto TPU lanes)."""
+    W = field.n_words
+    arr = np.empty((W, len(values)), dtype=np.uint32)
+    for j, v in enumerate(values):
+        for w in range(W):
+            arr[w, j] = (v >> (32 * w)) & 0xFFFFFFFF
+    return jnp.asarray(arr)
+
+
+def to_ints(x, field: Field) -> list:
+    """Unpack a ``uint32[W, *batch]`` array back to a flat list of ints
+    (batch dims flattened in C order)."""
+    a = np.asarray(x, dtype=np.uint64)
+    W = field.n_words
+    flat = a.reshape(W, -1)
+    out = []
+    for j in range(flat.shape[1]):
+        v = 0
+        for w in range(W):
+            v |= int(flat[w, j]) << (32 * w)
+        out.append(v)
+    return out
+
+
+def const_planes(value: int, field: Field, ndim: int = 1) -> jnp.ndarray:
+    """A broadcastable constant element: shape [W] + [1]*(ndim-... ) — i.e.
+    uint32[W, 1, 1, ...] with (ndim) trailing singleton dims."""
+    W = field.n_words
+    words = [(value >> (32 * w)) & 0xFFFFFFFF for w in range(W)]
+    arr = np.asarray(words, dtype=np.uint32).reshape((W,) + (1,) * ndim)
+    return jnp.asarray(arr)
+
+
+# ---------------------------------------------------------------------------
+# Half-limb pack/unpack
+# ---------------------------------------------------------------------------
+
+def unpack(x) -> list:
+    """uint32[W, *b] word planes -> list of 2W uint32[*b] 16-bit half planes
+    (little-endian)."""
+    halves = []
+    W = x.shape[0]
+    for w in range(W):
+        word = x[w]
+        halves.append(word & _MASK)
+        halves.append(word >> HALF_BITS)
+    return halves
+
+
+def pack(halves: list) -> jnp.ndarray:
+    """Inverse of :func:`unpack`."""
+    words = []
+    for w in range(len(halves) // 2):
+        words.append(halves[2 * w] | (halves[2 * w + 1] << HALF_BITS))
+    return jnp.stack(words, axis=0)
+
+
+def _field_halves(field: Field) -> list:
+    return [np.uint32(h) for h in field.p_halves]
+
+
+# ---------------------------------------------------------------------------
+# Carry/borrow chains on half-limb lists (each entry an uint32[*b] array
+# holding a value < 2^16; intermediate sums may use the full 32 bits)
+# ---------------------------------------------------------------------------
+
+def _add_halves(a: list, b: list):
+    """(a + b) over L half-limbs -> (L half-limbs, carry-out in {0,1})."""
+    out = []
+    c = None
+    for j in range(len(a)):
+        s = a[j] + b[j] if c is None else a[j] + b[j] + c
+        out.append(s & _MASK)
+        c = s >> HALF_BITS
+    return out, c
+
+
+def _sub_halves(a: list, b: list):
+    """(a - b) wrapped over L half-limbs -> (limbs, borrow-out in {0,1}).
+
+    Relies on uint32 wraparound: each step computes a[j] - b[j] - borrow in
+    uint32; since a[j] <= 0xFFFF and b[j]+borrow <= 0x10000 the wrapped high
+    half is 0 (no borrow) or 0xFFFF (borrow), so ``(s >> 16) & 1`` is the
+    borrow bit."""
+    out = []
+    brw = None
+    for j in range(len(a)):
+        s = a[j] - b[j] if brw is None else a[j] - b[j] - brw
+        out.append(s & _MASK)
+        brw = (s >> HALF_BITS) & np.uint32(1)
+    return out, brw
+
+
+def _cond_sub_p(t: list, top, field: Field) -> list:
+    """Given t (L half-limbs) + top word (0/1, i.e. value = t + top*2^(16L))
+    with value < 2p, return value mod p as L canonical half-limbs.
+
+    Branch-free: computes t - p with a borrow chain and selects — the
+    vectorized analog of CGBN's two's-complement conditional subtract
+    (core/core_mont.cu:55-76)."""
+    u, brw = _sub_halves(t, _field_halves(field))
+    # value >= p  iff  top >= borrow-out.
+    if top is None:
+        ge = brw == 0
+    else:
+        ge = top >= brw
+    return [jnp.where(ge, u[j], t[j]) for j in range(len(t))]
+
+
+# ---------------------------------------------------------------------------
+# Public modular ops (word-plane format in, word-plane format out)
+# ---------------------------------------------------------------------------
+
+def add_mod(x, y, field: Field):
+    """(x + y) mod p, canonical in/out. Equivalent of the reference butterfly
+    add path ``cgbn_add; cgbn_compare; cgbn_sub``
+    (/root/reference/src/big-num.cu:95-97)."""
+    a, b = unpack(x), unpack(y)
+    t, c = _add_halves(a, b)
+    return pack(_cond_sub_p(t, c, field))
+
+
+def sub_mod(x, y, field: Field):
+    """(x - y) mod p, canonical in/out (reference big-num.cu:100-103)."""
+    a, b = unpack(x), unpack(y)
+    d, brw = _sub_halves(a, b)
+    dp, _ = _add_halves(d, _field_halves(field))
+    neg = brw != 0
+    return pack([jnp.where(neg, dp[j], d[j]) for j in range(len(d))])
+
+
+def neg_mod(x, field: Field):
+    """(-x) mod p, canonical."""
+    zero = [np.uint32(0)] * field.n_halves
+    a = unpack(x)
+    d, brw = _sub_halves(zero, a)
+    dp, _ = _add_halves(d, _field_halves(field))
+    nonzero = brw != 0  # x != 0
+    return pack([jnp.where(nonzero, dp[j], d[j]) for j in range(len(d))])
+
+
+def _halves_stacked(x) -> jnp.ndarray:
+    """uint32[W, *b] word planes -> uint32[2W, *b] stacked 16-bit half
+    planes (little-endian along axis 0)."""
+    lo = x & _MASK
+    hi = x >> HALF_BITS
+    W = x.shape[0]
+    # interleave: [lo0, hi0, lo1, hi1, ...]
+    stacked = jnp.stack([lo, hi], axis=1)  # [W, 2, *b]
+    return stacked.reshape((2 * W,) + x.shape[1:])
+
+
+def mont_mul(x, y, field: Field):
+    """Montgomery product  x*y*R^{-1} mod p, canonical in/out.
+
+    Lazy-carry CIOS with 16-bit half-limbs (base 2^16), vectorized over the
+    half-limb axis: the local-limb restructuring of CGBN
+    ``core_t::mont_mul`` (/root/reference/include/cgbn/core/core_mont.cu:
+    29-77), but instead of rippling a carry through every inner step
+    (O(L^2) traced ops), each outer iteration accumulates the 16x16->32
+    partial products lo/hi into a redundant uint32 accumulator vector. Each
+    accumulator entry gains at most 4*(2^16-1) per iteration and survives at
+    most L iterations, so entries stay below ~2^22 — far from uint32
+    overflow — and a single carry-propagation pass at the end restores the
+    canonical representation (the "lazy/redundant representation" plan of
+    SURVEY.md §7).
+    """
+    L = field.n_halves
+    a = _halves_stacked(x)  # [L, *ba]
+    b = _halves_stacked(y)  # [L, *bb]
+    p_vec = np.asarray(field.p_halves, dtype=np.uint32).reshape(
+        (L,) + (1,) * (b.ndim - 1))
+    np0 = np.uint32(field.np0)
+
+    bb = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    t = jnp.zeros((L + 1,) + bb, dtype=jnp.uint32)
+    z1 = jnp.zeros((1,) + bb, dtype=jnp.uint32)
+
+    for i in range(L):
+        # --- multiply-accumulate a_i * b into t (lazy) ---
+        prod = a[i] * b  # exact: both operands < 2^16
+        prod = jnp.broadcast_to(prod, (L,) + bb)
+        t = t + jnp.concatenate([prod & _MASK, z1], axis=0) \
+              + jnp.concatenate([z1, prod >> HALF_BITS], axis=0)
+        # --- Montgomery step: choose m so position 0 becomes 0 mod 2^16 ---
+        m = (t[0] * np0) & _MASK  # t[0]&M is the true low half (exact)
+        mp = jnp.broadcast_to(m * p_vec, (L,) + bb)
+        t = t + jnp.concatenate([mp & _MASK, z1], axis=0) \
+              + jnp.concatenate([z1, mp >> HALF_BITS], axis=0)
+        # --- exact divide by 2^16: drop position 0, push its carry up ---
+        carry0 = t[0] >> HALF_BITS  # low half is 0 by construction of m
+        t = jnp.concatenate([(t[1] + carry0)[None], t[2:], z1], axis=0)
+
+    # --- final carry propagation (redundant -> canonical half-limbs) ---
+    out = []
+    c = None
+    for j in range(L):
+        s = t[j] if c is None else t[j] + c
+        out.append(s & _MASK)
+        c = s >> HALF_BITS
+    top = t[L] + c  # < 2^16; value < 2p so top word is 0 or 1
+    return pack(_cond_sub_p(out, top, field))
+
+
+def mont_sqr(x, field: Field):
+    return mont_mul(x, x, field)
+
+
+def to_mont(x, field: Field):
+    """Standard -> Montgomery form: x*R mod p = mont_mul(x, R^2)."""
+    r2 = const_planes(field.R2, field, ndim=x.ndim - 1)
+    return mont_mul(x, r2, field)
+
+
+def from_mont(x, field: Field):
+    """Montgomery -> standard form: mont_mul(x, 1)."""
+    one = const_planes(1, field, ndim=x.ndim - 1)
+    return mont_mul(x, one, field)
+
+
+def mont_pow(x, exponent: int, field: Field):
+    """x^exponent (x in Montgomery form, result in Montgomery form) by
+    square-and-multiply with a *static* Python exponent — the trace-time
+    analog of CGBN ``cgbn_modular_power`` (impl_cuda.cu:938-970) /
+    ``FIELD_pow`` (GZKP-NTT.cu:310-319)."""
+    result = None
+    base = x
+    e = int(exponent)
+    while e > 0:
+        if e & 1:
+            result = base if result is None else mont_mul(result, base, field)
+        e >>= 1
+        if e:
+            base = mont_sqr(base, field)
+    if result is None:
+        return const_planes(field.R, field, ndim=x.ndim - 1) + jnp.zeros_like(x)
+    return result
+
+
+def eq(x, y) -> jnp.ndarray:
+    """Elementwise equality over all word planes (CGBN cgbn_equals analog,
+    cgbn.h:156-159)."""
+    return jnp.all(x == y, axis=0)
+
+
+def is_canonical(x, field: Field) -> jnp.ndarray:
+    """Debug check: every element < p (value-check analog of CGBN's error
+    monitor taxonomy, cgbn.h:30-43)."""
+    _, brw = _sub_halves(unpack(x), _field_halves(field))
+    return brw != 0

@@ -1,0 +1,179 @@
+"""Shared building blocks for the NTT transform variants.
+
+Everything operates on Montgomery-form limb-plane arrays ``uint32[W, m,
+*batch]`` and transforms along axis 1. Twiddle *masters* (powers of the
+m-th root of unity, in Montgomery form) are computed host-exactly with
+Python ints — they are tiny (m/2 entries for sub-transforms of length m <=
+a few thousand) — while data-sized twiddle structures (the four-step
+correction matrix, coset power vectors) are generated on device by
+log-doubling so they never need host precompute or persistent HBM (see
+``power_matrix`` / ``geometric_outer``).
+
+The stage structure mirrors the reference's kernels in role:
+
+- :func:`dit_stage` is the radix-2 decimation-in-time butterfly stage, the
+  vectorized analog of the reference's ``naive`` kernel
+  (/root/reference/src/GZKP-NTT.cu:59-71) — one full data pass per stage.
+- :func:`ntt_along_axis` runs bit-reversal + all stages, i.e. the golden
+  ``NTT()`` semantics (GZKP-NTT.cu:30-48) vectorized over a batch axis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import limbs
+from ..fields import Field
+from ..oracle import bit_reverse_table
+
+
+# ---------------------------------------------------------------------------
+# Host-exact twiddle masters (tiny; analog of the reference's host-side
+# pq[]/omegas[] table builds, GZKP-NTT.cu:487-511)
+# ---------------------------------------------------------------------------
+
+_master_cache: dict = {}
+
+
+def twiddle_master(field: Field, m: int, inverse: bool) -> np.ndarray:
+    """Powers ω_m^0 .. ω_m^{m/2-1} in Montgomery form, as a host numpy
+    uint32[W, m/2] array. Cached per (field, m, inverse)."""
+    key = (field.name, m, inverse)
+    got = _master_cache.get(key)
+    if got is None:
+        w = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
+        p = field.p
+        vals = []
+        cur = 1
+        for _ in range(max(m // 2, 1)):
+            vals.append(field.to_mont_int(cur))
+            cur = cur * w % p
+        got = np.asarray(
+            [[field.int_to_words(v)[k] for v in vals] for k in range(field.n_words)],
+            dtype=np.uint32,
+        )
+        _master_cache[key] = got
+    return got
+
+
+def host_powers(field: Field, base: int, count: int) -> np.ndarray:
+    """Montgomery-form powers base^0..base^{count-1} as uint32[W, count]
+    (host-exact; use only for small count)."""
+    p = field.p
+    vals = []
+    cur = 1
+    for _ in range(count):
+        vals.append(field.to_mont_int(cur))
+        cur = cur * base % p
+    return np.asarray(
+        [[field.int_to_words(v)[k] for v in vals] for k in range(field.n_words)],
+        dtype=np.uint32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage ops
+# ---------------------------------------------------------------------------
+
+def _bcast_tw(tw, x_ndim: int, axis_extra: int):
+    """Reshape a [W, s] twiddle table for broadcasting against
+    [W, g, s, *batch]: -> [W, 1, s, 1...]."""
+    W, s = tw.shape
+    shape = (W, 1, s) + (1,) * (x_ndim - 2 - axis_extra)
+    return tw.reshape(shape)
+
+
+def dit_stage(x, s: int, tw, field: Field):
+    """One radix-2 DIT butterfly stage at stride ``s`` along axis 1.
+
+    x: uint32[W, m, *batch]; tw: uint32[W, s] (Montgomery form, ω_{2s}^j).
+    Pairs (start+j, start+j+s) within contiguous groups of 2s — identical
+    pairing to the reference golden model (GZKP-NTT.cu:39-47).
+    """
+    W, m = x.shape[0], x.shape[1]
+    rest = x.shape[2:]
+    g = m // (2 * s)
+    xr = x.reshape((W, g, 2, s) + rest)
+    a = xr[:, :, 0]
+    b = xr[:, :, 1]
+    twb = _bcast_tw(tw, a.ndim, 1)
+    bt = limbs.mont_mul(b, twb, field)
+    lo = limbs.add_mod(a, bt, field)
+    hi = limbs.sub_mod(a, bt, field)
+    return jnp.stack([lo, hi], axis=2).reshape(x.shape)
+
+
+def bit_reverse_axis1(x):
+    """Bit-reverse permute along axis 1 (the vectorized analog of the
+    reference's ``rearrange`` kernel, GZKP-NTT.cu:50-57)."""
+    m = x.shape[1]
+    rev = np.asarray(bit_reverse_table(m), dtype=np.int32)
+    return jnp.take(x, rev, axis=1)
+
+
+def ntt_along_axis(x, field: Field, inverse: bool = False):
+    """Full natural-order NTT along axis 1 of uint32[W, m, *batch]
+    (Montgomery form in/out, no 1/n scaling)."""
+    m = x.shape[1]
+    if m == 1:
+        return x
+    master = twiddle_master(field, m, inverse)  # [W, m/2]
+    x = bit_reverse_axis1(x)
+    s = 1
+    while s < m:
+        step = (m // 2) // s
+        tw = jnp.asarray(master[:, ::step][:, :s])
+        x = dit_stage(x, s, tw, field)
+        s <<= 1
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Device-side twiddle generation (data-sized structures)
+# ---------------------------------------------------------------------------
+
+def power_matrix(field: Field, base: int, n1: int, n2: int):
+    """Montgomery-form matrix T[i, j] = base^{i*j}, uint32[W, n1, n2],
+    generated on device with log2(n2) doubling steps (~n total mont_muls —
+    about the cost of one butterfly stage; this replaces materializing an
+    O(n)-entry host table).
+
+    This is the four-step decomposition twiddle — the role played in the
+    reference SSIP stage-1 kernel by the per-element ``twiddle^brev(lid)``
+    correction (/root/reference/src/GZKP-NTT.cu:1346-1356).
+    """
+    col = jnp.asarray(host_powers(field, base, n1))  # [W, n1]: base^i
+    T = jnp.asarray(host_powers(field, 1, 1)).reshape(field.n_words, 1, 1)
+    T = jnp.broadcast_to(T, (field.n_words, n1, 1))
+    wk = col  # base^{i*k}, k = 1
+    k = 1
+    while k < n2:
+        grow = min(k, n2 - k)
+        part = limbs.mont_mul(T[:, :, :grow], wk[:, :, None], field)
+        T = jnp.concatenate([T, part], axis=2)
+        if 2 * k < n2:
+            wk = limbs.mont_sqr(wk, field)
+        k *= 2
+    return T
+
+
+def geometric_outer(field: Field, base: int, n1: int, n2: int):
+    """Montgomery-form powers base^0..base^{n1*n2-1} as uint32[W, n1, n2]
+    via the rank-1 outer product base^{i1*n2+i2} = (base^{n2})^{i1} *
+    base^{i2} — two tiny host tables, one device mont_mul."""
+    p = field.p
+    row = jnp.asarray(host_powers(field, base, n2))  # [W, n2]
+    col = jnp.asarray(host_powers(field, pow(base, n2, p), n1))  # [W, n1]
+    return limbs.mont_mul(col[:, :, None], row[:, None, :], field)
+
+
+def split_log(n: int) -> tuple:
+    """Four-step split n = n1*n2 with n1 >= n2 (mirrors the reference SSIP
+    stage-1/stage-2 split of log n into a top and bottom half,
+    GZKP-NTT.cu:1509-1545)."""
+    log_n = n.bit_length() - 1
+    l2 = log_n // 2
+    l1 = log_n - l2
+    return 1 << l1, 1 << l2

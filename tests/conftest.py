@@ -1,0 +1,19 @@
+"""Test config: force the local CPU backend with 8 virtual devices.
+
+The container's sitecustomize registers the remote `axon` TPU backend and
+forces it via jax.config, with ~1s per-op tunnel latency — unusable for
+tests. Tests run on host CPU with an 8-device virtual mesh so the
+distributed four-step path (all-to-all) is exercised without TPUs
+(SURVEY.md §4 item 8).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,89 @@
+"""Property tests of the vectorized limb layer against Python ints —
+the SURVEY.md §7 layer-2 oracle contract ("Property-test vs fields/")."""
+
+import random
+
+import numpy as np
+import pytest
+
+from ntt_tpu import BLS12_381_FR, BN254_FR, GOLDILOCKS, SMALL, limbs
+
+FIELDS = [SMALL, GOLDILOCKS, BN254_FR, BLS12_381_FR]
+N = 128
+
+
+def _rand(field, n, seed):
+    rng = random.Random(seed)
+    # mix uniform values with adversarial boundary values
+    special = [0, 1, 2, field.p - 1, field.p - 2, field.p >> 1,
+               (1 << 16) - 1, (1 << 32) - 1 if field.p > (1 << 32) else 3]
+    vals = [v % field.p for v in special]
+    vals += [rng.randrange(field.p) for _ in range(n - len(vals))]
+    return vals
+
+
+@pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
+def test_pack_roundtrip(field):
+    xs = _rand(field, N, 1)
+    assert limbs.to_ints(limbs.from_ints(xs, field), field) == xs
+
+
+@pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
+def test_add_sub_neg(field):
+    p = field.p
+    xs, ys = _rand(field, N, 2), _rand(field, N, 3)
+    X, Y = limbs.from_ints(xs, field), limbs.from_ints(ys, field)
+    assert limbs.to_ints(limbs.add_mod(X, Y, field), field) == [
+        (a + b) % p for a, b in zip(xs, ys)]
+    assert limbs.to_ints(limbs.sub_mod(X, Y, field), field) == [
+        (a - b) % p for a, b in zip(xs, ys)]
+    assert limbs.to_ints(limbs.neg_mod(X, field), field) == [
+        (-a) % p for a in xs]
+
+
+@pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
+def test_mont_mul(field):
+    p = field.p
+    xs, ys = _rand(field, N, 4), _rand(field, N, 5)
+    X, Y = limbs.from_ints(xs, field), limbs.from_ints(ys, field)
+    got = limbs.to_ints(limbs.mont_mul(X, Y, field), field)
+    assert got == [a * b * field.R_inv % p for a, b in zip(xs, ys)]
+
+
+@pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
+def test_mont_form_roundtrip(field):
+    xs = _rand(field, N, 6)
+    X = limbs.from_ints(xs, field)
+    Xm = limbs.to_mont(X, field)
+    assert limbs.to_ints(Xm, field) == [field.to_mont_int(a) for a in xs]
+    assert limbs.to_ints(limbs.from_mont(Xm, field), field) == xs
+
+
+@pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
+def test_mont_pow(field):
+    xs = _rand(field, 16, 7)
+    Xm = limbs.to_mont(limbs.from_ints(xs, field), field)
+    for e in (0, 1, 2, 3, 65537):
+        got = limbs.to_ints(limbs.mont_pow(Xm, e, field), field)
+        assert got == [field.to_mont_int(pow(a, e, field.p)) for a in xs], e
+
+
+@pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
+def test_broadcasting(field):
+    """mont_mul must broadcast a [W, 1] constant against [W, n]."""
+    xs = _rand(field, 32, 8)
+    X = limbs.from_ints(xs, field)
+    C = limbs.from_ints([3], field)
+    got = limbs.to_ints(limbs.mont_mul(X, C, field), field)
+    assert got == [a * 3 * field.R_inv % field.p for a in xs]
+
+
+@pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
+def test_eq_and_canonical(field):
+    xs = _rand(field, 32, 9)
+    X = limbs.from_ints(xs, field)
+    assert bool(np.all(np.asarray(limbs.eq(X, X))))
+    assert bool(np.all(np.asarray(limbs.is_canonical(X, field))))
+    # p itself is non-canonical
+    P = limbs.from_ints([0], field) + limbs.const_planes(field.p, field, 1)
+    assert not bool(np.any(np.asarray(limbs.is_canonical(P, field))))

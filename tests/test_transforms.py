@@ -1,0 +1,102 @@
+"""End-to-end transform tests vs the Python oracle.
+
+Pattern follows the reference's verification scheme (SURVEY.md §4):
+golden-model comparison on the ramp input for every variant, plus the
+roundtrip check, plus Montgomery-form I/O, coset and LDE configs
+(BASELINE.json configs 1-4 at test scale).
+
+Sizes are kept small because every (field, n, variant) pair is a fresh XLA
+compile of a fully unrolled limb graph. Scale testing happens in bench.py
+on the real chip.
+"""
+
+import pytest
+
+import ntt_tpu as nt
+from ntt_tpu import oracle
+
+ALGOS = ["naive", "fourstep"]
+
+
+def run_and_check(field, n, algo):
+    x = oracle.ramp(n, field)
+    X = nt.from_ints(x, field)
+    golden = oracle.ntt_golden(x, field)
+    y = nt.to_ints(nt.ntt(X, field, algorithm=algo), field)
+    assert y == golden, f"{field.name} n={n} {algo} forward"
+    rt = nt.to_ints(
+        nt.intt(nt.from_ints(golden, field), field, algorithm=algo), field)
+    assert rt == x, f"{field.name} n={n} {algo} roundtrip"
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+@pytest.mark.parametrize("log_n", [2, 3, 6, 9])
+def test_small_field(algo, log_n):
+    run_and_check(nt.SMALL, 1 << log_n, algo)
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+@pytest.mark.parametrize("log_n", [4, 5])
+def test_bn254(algo, log_n):
+    run_and_check(nt.BN254_FR, 1 << log_n, algo)
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_bls12_381(algo):
+    run_and_check(nt.BLS12_381_FR, 16, algo)
+
+
+def test_goldilocks():
+    run_and_check(nt.GOLDILOCKS, 64, "fourstep")
+
+
+def test_mont_io():
+    """BASELINE.json config 2 at test scale: Montgomery-form I/O skips the
+    conversion passes but produces the same transform."""
+    f, n = nt.BN254_FR, 16
+    x = oracle.ramp(n, f)
+    Xm = nt.to_mont(nt.from_ints(x, f), f)
+    ym = nt.ntt(Xm, f, mont_io=True)
+    y = nt.to_ints(nt.from_mont(ym, f), f)
+    assert y == oracle.ntt_golden(x, f)
+    back = nt.intt(ym, f, mont_io=True)
+    assert nt.to_ints(nt.from_mont(back, f), f) == x
+
+
+def test_coset_ntt_and_intt():
+    f, n = nt.SMALL, 64
+    x = oracle.ramp(n, f)
+    X = nt.from_ints(x, f)
+    shift = f.generator
+    y = nt.to_ints(nt.coset_ntt(X, f), f)
+    assert y == oracle.coset_ntt_golden(x, f, shift)
+    back = nt.to_ints(nt.coset_intt(nt.from_ints(y, f), f), f)
+    assert back == x
+
+
+def test_lde():
+    f, n = nt.SMALL, 16
+    x = oracle.ramp(n, f)
+    got = nt.to_ints(nt.lde(nt.from_ints(x, f), f, blowup=4), f)
+    assert got == oracle.lde_golden(x, f, 4)
+
+
+def test_nonramp_input():
+    f, n = nt.SMALL, 64
+    x = [(i * 1234567 + 89) % f.p for i in range(n)]
+    got = nt.to_ints(nt.ntt(nt.from_ints(x, f), f), f)
+    assert got == oracle.ntt_golden(x, f)
+
+
+def test_linearity_spot_check():
+    """NTT(a+b) == NTT(a)+NTT(b) — independent algebraic property."""
+    f, n = nt.SMALL, 64
+    import random
+    rng = random.Random(0)
+    a = [rng.randrange(f.p) for _ in range(n)]
+    b = [rng.randrange(f.p) for _ in range(n)]
+    fa = oracle.ntt_golden(a, f)
+    fb = oracle.ntt_golden(b, f)
+    s = nt.to_ints(nt.ntt(nt.from_ints(
+        [(x + y) % f.p for x, y in zip(a, b)], f), f), f)
+    assert s == [(x + y) % f.p for x, y in zip(fa, fb)]
