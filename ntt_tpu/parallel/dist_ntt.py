@@ -1,0 +1,190 @@
+"""Multi-chip four-step NTT: shard_map + one all-to-all over the mesh.
+
+This is the pod-scale dimension the reference does not have (SURVEY.md §2.3:
+"no distributed backend of any kind"). The single-chip four-step transform
+(ntt_tpu.transforms.fourstep) maps onto a 1-D device mesh as:
+
+    input  A[i1, i2]   sharded on i2   (columns distributed)
+    1. column NTTs over i1             -> fully local
+    2. decomposition-twiddle multiply  -> local (device-dependent part is a
+                                          rank-1 correction generated from
+                                          the device index, see below)
+    3. all-to-all                      -> THE one collective: the four-step
+                                          transpose rides ICI as a single
+                                          jax.lax.all_to_all (the TPU-native
+                                          realization of SSIP stage 2's
+                                          mirrored-pair exchange,
+                                          /root/reference/src/GZKP-NTT.cu:
+                                          1437-1447)
+    4. local transpose + row NTTs      -> fully local
+    output D'[k2, k1]  sharded on k1
+
+Twiddle correction under sharding: T[k1, i2] = ω^{k1·i2} with i2 = off +
+j, off = device_index * n2_local, factors as
+
+    T = ω^{k1·j} (static, identical on every device)  ∘  (ω^{off})^{k1}
+
+The per-device column vector (ω^{off})^{k1} is generated on device by
+log-doubling from a base selected out of a tiny static table by the traced
+device index, so no data-sized twiddle is ever materialized on host or
+communicated.
+
+Limbs stay limb-major and unsharded (the W axis is tiny); coefficients are
+sharded — each device holds contiguous columns of every limb plane, so the
+all-to-all moves contiguous blocks (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import limbs
+from ..fields import Field
+from ..transforms.core import (host_powers, ntt_along_axis, power_matrix,
+                               split_log)
+
+AXIS = "ntt"
+
+
+def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
+    """1-D mesh over `axis`. For a non-power-of-two device count the mesh
+    is factored as (replica, axis) with the axis dimension the largest
+    power of two dividing the count — the transform parallelism needs
+    n2 % axis_size == 0, and extra devices become a replica/data axis."""
+    devices = jax.devices() if devices is None else devices
+    d = len(devices)
+    ntt_size = d & (-d)  # largest power of two dividing d
+    if ntt_size == d:
+        return Mesh(np.asarray(devices), (axis,))
+    return Mesh(np.asarray(devices).reshape(d // ntt_size, ntt_size),
+                ("replica", axis))
+
+
+def _axis_size(mesh: Mesh, axis: str = AXIS) -> int:
+    return mesh.shape[axis]
+
+
+def shard_for_ntt(x, field: Field, mesh: Mesh, axis: str = AXIS):
+    """Place a replicated/host uint32[W, n] array into the distributed
+    four-step layout: uint32[W, n1, n2] with i2 (axis 2) sharded."""
+    W, n = x.shape
+    n1, n2 = split_log(n)
+    xm = x.reshape(W, n1, n2)
+    return jax.device_put(xm, NamedSharding(mesh, P(None, None, axis)))
+
+
+def unshard(y) -> jnp.ndarray:
+    """Gather a distributed output [W, n2, n1] back to a flat natural-order
+    host-side [W, n] array (X[k2*n1 + k1] = y[:, k2, k1])."""
+    W = y.shape[0]
+    return jax.device_get(y).reshape(W, -1)
+
+
+def _local_step(xb, idx_base, field: Field, n1: int, n2: int, n2_loc: int,
+                omega: int, inverse: bool, n_inv: int | None):
+    """Per-device body (inside shard_map). xb: uint32[W, n1, n2_loc]."""
+    # 1. column NTTs over i1 (local)
+    B = ntt_along_axis(xb, field, inverse=inverse)
+
+    # 2. decomposition twiddle: static part ω^{k1·j} ...
+    Ts = power_matrix(field, omega, n1, n2_loc)
+    C = limbs.mont_mul(B, Ts, field)
+    # ... times the device-dependent rank-1 part (ω^{off})^{k1}:
+    # idx_base[:, d] = ω^{d·n2_loc} in Montgomery form (static table),
+    # selected by the traced device index, then powered along k1 by
+    # log-doubling.
+    idx = jax.lax.axis_index(AXIS)
+    base = jax.lax.dynamic_slice_in_dim(idx_base, idx, 1, axis=1)  # [W, 1]
+    col = limbs.const_planes(field.R, field, 2) + jnp.zeros(
+        (field.n_words, 1, 1), jnp.uint32)  # [W, 1(=k1), 1] value 1
+    mult = base[:, :, None]  # [W, 1, 1]
+    k = 1
+    while k < n1:
+        grow = min(k, n1 - k)
+        col = jnp.concatenate(
+            [col, limbs.mont_mul(col[:, :grow], mult, field)], axis=1)
+        if 2 * k < n1:
+            mult = limbs.mont_sqr(mult, field)
+        k *= 2
+    C = limbs.mont_mul(C, col, field)  # broadcast over axis 2
+
+    # 3. the transpose collective: [W, n1, n2_loc] -> [W, n1_loc, n2]
+    Ca = jax.lax.all_to_all(C, AXIS, split_axis=1, concat_axis=2, tiled=True)
+
+    # 4. local transpose + row NTTs over i2
+    Ct = jnp.transpose(Ca, (0, 2, 1))  # [W, n2, n1_loc]
+    D = ntt_along_axis(Ct, field, inverse=inverse)
+
+    if n_inv is not None:
+        c = limbs.const_planes(field.to_mont_int(n_inv), field, 2)
+        D = limbs.mont_mul(D, c, field)
+    return D
+
+
+def make_dist_ntt(field: Field, n: int, mesh: Mesh, inverse: bool = False,
+                  mont_io: bool = True):
+    """Build a jitted distributed NTT for (field, n, mesh).
+
+    Takes uint32[W, n1, n2] sharded P(None, None, 'ntt') (see
+    :func:`shard_for_ntt`), returns uint32[W, n2, n1] sharded
+    P(None, None, 'ntt') holding X[k2*n1 + k1] at [:, k2, k1].
+    Montgomery-form I/O by default; ``mont_io=False`` adds conversion
+    passes.
+    """
+    from ..fields import inv_mod
+
+    n1, n2 = split_log(n)
+    D = _axis_size(mesh)
+    assert n2 % D == 0, f"n2={n2} must be divisible by '{AXIS}' axis size {D}"
+    n2_loc = n2 // D
+    omega = field.inv_root_of_unity(n) if inverse else field.root_of_unity(n)
+    # static per-device base table: ω^{d·n2_loc}, d < D
+    idx_base = jnp.asarray(host_powers(field, pow(omega, n2_loc, field.p), D))
+    n_inv = inv_mod(n, field.p) if inverse else None
+
+    body = functools.partial(
+        _local_step, field=field, n1=n1, n2=n2, n2_loc=n2_loc,
+        omega=omega, inverse=inverse, n_inv=n_inv)
+
+    spec = P(None, None, AXIS)
+    mapped = jax.shard_map(
+        lambda xb, tb: body(xb, tb),
+        mesh=mesh, in_specs=(spec, P(None, None)), out_specs=spec,
+        check_vma=False,
+    )
+
+    def run(x):
+        if not mont_io:
+            x = limbs.to_mont(x, field)
+        y = mapped(x, idx_base)
+        if not mont_io:
+            y = limbs.from_mont(y, field)
+        return y
+
+    return jax.jit(run)
+
+
+_dist_cache: dict = {}
+
+
+def _get(field: Field, n: int, mesh: Mesh, inverse: bool, mont_io: bool):
+    key = (field.name, n, id(mesh), inverse, mont_io)
+    if key not in _dist_cache:
+        _dist_cache[key] = make_dist_ntt(field, n, mesh, inverse, mont_io)
+    return _dist_cache[key]
+
+
+def dist_ntt(x_sharded, field: Field, mesh: Mesh, n: int,
+             mont_io: bool = True):
+    return _get(field, n, mesh, False, mont_io)(x_sharded)
+
+
+def dist_intt(x_sharded, field: Field, mesh: Mesh, n: int,
+              mont_io: bool = True):
+    return _get(field, n, mesh, True, mont_io)(x_sharded)
