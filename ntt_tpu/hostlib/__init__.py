@@ -1,0 +1,141 @@
+"""ctypes loader for the native host field library (csrc/hostfield.cpp).
+
+The native lib is the framework's host backend — the role CGBN's GMP/MPZ
+backend plays in the reference (SURVEY.md §2.2) — providing a fast exact
+oracle (golden NTT, Montgomery ops, twiddle tables) for large sizes where
+the pure-Python model in ``ntt_tpu.oracle`` is too slow.
+
+Builds on first use via ``make hostlib`` (plain g++, no external deps);
+falls back gracefully: ``available()`` returns False and callers should use
+the Python oracle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..fields import Field
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SO = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "libhostfield.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    src = os.path.join(_REPO, "csrc", "hostfield.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, src],
+            check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.hf_ntt.argtypes = [u64p, u64p, ctypes.c_uint64, u64p, ctypes.c_int,
+                           u64p]
+    lib.hf_powers.argtypes = [u64p, u64p, ctypes.c_uint64, ctypes.c_uint64,
+                              u64p]
+    lib.hf_mul_mod_vec.argtypes = [u64p, u64p, u64p, ctypes.c_uint64, u64p]
+    lib.hf_pow_mod.argtypes = [u64p, u64p, u64p, u64p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fe(x: int) -> np.ndarray:
+    return np.asarray([(x >> (64 * i)) & 0xFFFFFFFFFFFFFFFF
+                       for i in range(4)], dtype=np.uint64)
+
+
+def _ints_to_arr(vals) -> np.ndarray:
+    out = np.empty((len(vals), 4), dtype=np.uint64)
+    for i, v in enumerate(vals):
+        for w in range(4):
+            out[i, w] = (v >> (64 * w)) & 0xFFFFFFFFFFFFFFFF
+    return out
+
+
+def _arr_to_ints(a: np.ndarray) -> list:
+    a = a.reshape(-1, 4)
+    return [int(a[i, 0]) | (int(a[i, 1]) << 64) | (int(a[i, 2]) << 128)
+            | (int(a[i, 3]) << 192) for i in range(a.shape[0])]
+
+
+def _p64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def ntt(data: list, field: Field, inverse: bool = False) -> list:
+    """Golden NTT via the native lib — same semantics as
+    ``oracle.ntt_golden`` / ``oracle.intt_golden``."""
+    lib = _load()
+    assert lib is not None, "hostfield library unavailable"
+    assert field.bits <= 256
+    n = len(data)
+    inp = _ints_to_arr(data)
+    out = np.empty_like(inp)
+    p = _fe(field.p)
+    g = _fe(field.generator)
+    lib.hf_ntt(_p64(p), _p64(inp), n, _p64(g), 1 if inverse else 0,
+               _p64(out))
+    return _arr_to_ints(out)
+
+
+def powers(base: int, count: int, field: Field,
+           mont_form: bool = False) -> list:
+    """Powers base^0..base^{count-1}; ``mont_form=True`` returns them in the
+    *field's* Montgomery form (radix 2^field.mont_bits, matching the device
+    limb layer)."""
+    lib = _load()
+    assert lib is not None, "hostfield library unavailable"
+    out = np.empty((count, 4), dtype=np.uint64)
+    p, b = _fe(field.p), _fe(base % field.p)
+    lib.hf_powers(_p64(p), _p64(b), count,
+                  field.mont_bits if mont_form else 0, _p64(out))
+    return _arr_to_ints(out)
+
+
+def pow_mod(x: int, e: int, field: Field) -> int:
+    lib = _load()
+    assert lib is not None, "hostfield library unavailable"
+    out = np.empty(4, dtype=np.uint64)
+    p, xa, ea = _fe(field.p), _fe(x % field.p), _fe(e)
+    lib.hf_pow_mod(_p64(p), _p64(xa), _p64(ea), _p64(out))
+    return _arr_to_ints(out)[0]
+
+
+def mul_mod_vec(a: list, b: list, field: Field) -> list:
+    """Elementwise a*b mod p (standard form)."""
+    lib = _load()
+    assert lib is not None, "hostfield library unavailable"
+    aa, ba = _ints_to_arr(a), _ints_to_arr(b)
+    out = np.empty_like(aa)
+    p = _fe(field.p)
+    lib.hf_mul_mod_vec(_p64(p), _p64(aa), _p64(ba), len(a), _p64(out))
+    return _arr_to_ints(out)
