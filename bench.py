@@ -51,7 +51,7 @@ def main() -> None:
     smoke = "--smoke" in sys.argv
     log_n = int(os.environ.get("BENCH_LOGN", "10" if smoke else "18"))
     field_name = os.environ.get("BENCH_FIELD", "bls12-381-fr")
-    algo = os.environ.get("BENCH_ALGO", "fourstep")
+    algo = os.environ.get("BENCH_ALGO", "mxu")
     reps = int(os.environ.get("BENCH_REPS", "3" if smoke else "5"))
 
     import jax

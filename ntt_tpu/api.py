@@ -22,12 +22,15 @@ import jax.numpy as jnp
 from . import limbs
 from .fields import Field, get_field, inv_mod
 from .transforms.core import geometric_outer, ntt_along_axis, split_log
-from .transforms.fourstep import ntt_fourstep
+from .transforms.fourstep import ntt_fourstep, ntt_fourstep_pallas
+from .transforms.mxu import ntt_mxu
 from .transforms.naive import ntt_naive
 
 ALGORITHMS = {
     "naive": ntt_naive,
     "fourstep": ntt_fourstep,
+    "pallas": ntt_fourstep_pallas,
+    "mxu": ntt_mxu,
 }
 
 _compiled_cache: dict = {}

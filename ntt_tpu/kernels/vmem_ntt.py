@@ -1,0 +1,126 @@
+"""Pallas kernel: fused multi-stage sub-NTT in VMEM.
+
+The TPU equivalent of the reference's shared-memory stage-batched kernels —
+bellperson ``FIELD_radix_fft_revised`` (/root/reference/src/GZKP-NTT.cu:
+391-464) and the GZKP tile kernel (GZKP-NTT.cu:115-165): instead of one HBM
+round trip per radix-2 stage (the ``naive`` ladder, GZKP-NTT.cu:59-113), a
+whole batch tile is DMA'd to VMEM once and ALL log2(m) butterfly stages run
+on the VPU against VMEM, with a small per-stage twiddle table held resident
+(the pq[] table analog, GZKP-NTT.cu:487-511).
+
+Layout: ``uint32[W, m, Bt]`` — the transform axis m lives on sublanes, the
+batch tile Bt on the 128 lanes, so every butterfly is a full-width VPU op
+and stage pairing is a static sublane reindex (no gather: the bit-reversal
+permutation is applied by the caller as one XLA pass, mirroring the
+reference's separate ``rearrange`` kernel, GZKP-NTT.cu:50-57).
+
+The in-kernel field arithmetic IS ``ntt_tpu.limbs`` — the limb ops are pure
+jnp on uint32 and trace into the kernel unchanged, so the Pallas and XLA
+paths share one arithmetic implementation (one bit-exactness surface).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import limbs
+from ..fields import Field, get_field
+from ..transforms.core import bit_reverse_axis1, twiddle_master
+
+DEFAULT_BATCH_TILE = 128
+
+
+def _stage_twiddles(field: Field, m: int, inverse: bool) -> list:
+    """One uint32[W, m/2, 1] array per stage: the stage-s (s = 2^i) twiddles
+    expanded to one entry per butterfly, laid out sublane-major to match the
+    data tile (m on sublanes) so the in-kernel reshape [W, g, s, 1] is a pure
+    sublane regroup — no lane<->sublane movement (Mosaic constraint)."""
+    master = twiddle_master(field, m, inverse)  # [W, m/2]
+    W, h = master.shape
+    log_m = m.bit_length() - 1
+    out = []
+    s = 1
+    for i in range(log_m):
+        step = h // s
+        stage = master[:, ::step][:, :s]            # [W, s]
+        expanded = np.tile(stage, (1, h // s))[:, :h]  # [W, m/2]
+        out.append(expanded.reshape(W, h, 1))
+        s <<= 1
+    return out
+
+
+def _kernel(*refs, field: Field, m: int):
+    x_ref, tw_refs, o_ref = refs[0], refs[1:-1], refs[-1]
+    x = x_ref[:]                     # [W, m, Bt]
+    W, _, Bt = x.shape
+    log_m = m.bit_length() - 1
+    s = 1
+    for i in range(log_m):
+        g = m // (2 * s)
+        xr = x.reshape(W, g, 2, s, Bt)
+        a = xr[:, :, 0]
+        b = xr[:, :, 1]
+        tw = tw_refs[i][:].reshape(W, g, s, 1)   # per-butterfly twiddles
+        bt = limbs.mont_mul(b, tw, field)
+        lo = limbs.add_mod(a, bt, field)
+        hi = limbs.sub_mod(a, bt, field)
+        x = jnp.stack([lo, hi], axis=2).reshape(W, m, Bt)
+        s <<= 1
+    o_ref[:] = x
+
+
+@functools.lru_cache(maxsize=None)
+def _build(field_name: str, m: int, Bt: int, interpret: bool):
+    field = get_field(field_name)
+    W = field.n_words
+    log_m = m.bit_length() - 1
+    kern = functools.partial(_kernel, field=field, m=m)
+    tw_specs = [
+        pl.BlockSpec((W, m // 2, 1), lambda j: (0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(log_m)
+    ]
+
+    def call(x, stage_tws):
+        B = x.shape[2]
+        return pl.pallas_call(
+            kern,
+            grid=(B // Bt,),
+            in_specs=[
+                pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+                *tw_specs,
+            ],
+            out_specs=pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
+            interpret=interpret,
+        )(x, *stage_tws)
+
+    return call
+
+
+def ntt_along_axis_pallas(x, field: Field, inverse: bool = False,
+                          batch_tile: int | None = None):
+    """Natural-order NTT along axis 1 of uint32[W, m, B] (Montgomery in/out,
+    no 1/n scaling) with all stages fused in one VMEM-resident Pallas kernel.
+
+    Falls back to interpret mode off-TPU so CPU tests exercise the same
+    kernel code path.
+    """
+    W, m, B = x.shape
+    if m == 1:
+        return x
+    Bt = batch_tile or min(DEFAULT_BATCH_TILE, B)
+    assert B % Bt == 0, f"batch {B} must be divisible by tile {Bt}"
+    interpret = jax.default_backend() != "tpu"
+    stage_tws = [jnp.asarray(t) for t in _stage_twiddles(field, m, inverse)]
+    x = bit_reverse_axis1(x)
+    return _build(field.name, m, Bt, interpret)(x, stage_tws)

@@ -224,8 +224,8 @@ def mont_mul(x, y, field: Field):
     L = field.n_halves
     a = _halves_stacked(x)  # [L, *ba]
     b = _halves_stacked(y)  # [L, *bb]
-    p_vec = np.asarray(field.p_halves, dtype=np.uint32).reshape(
-        (L,) + (1,) * (b.ndim - 1))
+    p_h = _field_halves(field)  # scalar literals (Pallas-kernel friendly:
+    # no captured array constants, cf. kernels/vmem_ntt.py)
     np0 = np.uint32(field.np0)
 
     bb = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
@@ -240,7 +240,7 @@ def mont_mul(x, y, field: Field):
               + jnp.concatenate([z1, prod >> HALF_BITS], axis=0)
         # --- Montgomery step: choose m so position 0 becomes 0 mod 2^16 ---
         m = (t[0] * np0) & _MASK  # t[0]&M is the true low half (exact)
-        mp = jnp.broadcast_to(m * p_vec, (L,) + bb)
+        mp = jnp.stack([m * ph for ph in p_h], axis=0)  # [L, *bb]
         t = t + jnp.concatenate([mp & _MASK, z1], axis=0) \
               + jnp.concatenate([z1, mp >> HALF_BITS], axis=0)
         # --- exact divide by 2^16: drop position 0, push its carry up ---
@@ -260,6 +260,59 @@ def mont_mul(x, y, field: Field):
 
 def mont_sqr(x, field: Field):
     return mont_mul(x, x, field)
+
+
+def mont_reduce_wide(halves: list, field: Field, iters: int):
+    """Montgomery-reduce a wide value given as a list of uint32 half-limb
+    planes (little-endian base 2^16; entries may be *lazy*, i.e. hold sums up
+    to a few bits above 2^16): returns ``value * 2^(-16*iters) mod p`` as
+    canonical word planes.
+
+    The local-limb analog of CGBN ``mont_reduce_wide``
+    (/root/reference/include/cgbn/impl_cuda.cu:1013-1024,
+    core/core_mont.cu:80-114): ``iters`` CIOS elimination steps, each
+    choosing q = (t0 * np0) mod 2^16 so the lowest half becomes divisible by
+    2^16, using the lazy uint32 accumulator discipline of :func:`mont_mul`
+    (each entry gains < 2^17 per surviving iteration, so nothing overflows
+    uint32 for iters <= ~32).
+
+    Precondition: value < 2^(16*iters) * p, so the result is < 2p before the
+    final conditional subtract.
+    """
+    L = field.n_halves
+    p_h = _field_halves(field)
+    np0 = np.uint32(field.np0)
+    t = list(halves)
+    zero = jnp.zeros_like(t[0])
+    for _ in range(iters):
+        # q so that (t[0] + q*p) ≡ 0 mod 2^16; masking a lazy t[0] is exact
+        # because uint32 wraparound preserves the value mod 2^16.
+        m = (t[0] * np0) & _MASK
+        add_lo = [(m * p_h[j]) & _MASK for j in range(L)]
+        add_hi = [(m * p_h[j]) >> HALF_BITS for j in range(L)]
+        carry0 = (t[0] + add_lo[0]) >> HALF_BITS  # low half 0 by construction
+        nt = []
+        for j in range(1, max(len(t), L + 1)):
+            v = t[j] if j < len(t) else zero
+            if j < L:
+                v = v + add_lo[j]
+            if j - 1 < L:
+                v = v + add_hi[j - 1]
+            if j == 1:
+                v = v + carry0
+            nt.append(v)
+        t = nt
+    # final carry propagation (lazy -> canonical), fold everything above L
+    out = []
+    c = None
+    for j in range(L):
+        s = t[j] if c is None else t[j] + c
+        out.append(s & _MASK)
+        c = s >> HALF_BITS
+    top = c
+    for j in range(L, len(t)):
+        top = top + t[j]
+    return pack(_cond_sub_p(out, top, field))
 
 
 def to_mont(x, field: Field):

@@ -38,19 +38,61 @@ from .. import limbs
 from ..fields import Field
 from .core import ntt_along_axis, power_matrix, split_log
 
+#: largest sub-transform handled directly by the base stage kernel; larger
+#: sizes recurse (mirrors the reference's MAX_LOG2_RADIX bound on how many
+#: stages fit one shared-memory tile, GZKP-NTT.cu:466)
+BASE_MAX = 1024
+
+
+def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
+                      base_max: int = BASE_MAX):
+    """Recursive four-step NTT along axis 1 of uint32[W, m, *batch] with a
+    pluggable base transform (``base_fn(x[W, m, *b], field, inverse)``)."""
+    W, m = x.shape[0], x.shape[1]
+    rest = x.shape[2:]
+    if m <= base_max:
+        return base_fn(x, field, inverse)
+    n1, n2 = split_log(m)
+    omega = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
+
+    A = x.reshape((W, n1, n2) + rest)
+    B = ntt_axis_fourstep(A, field, inverse, base_fn, base_max)  # i1 -> k1
+    T = power_matrix(field, omega, n1, n2)                       # ω^{k1·i2}
+    C = limbs.mont_mul(B, T.reshape(T.shape + (1,) * len(rest)), field)
+    Ct = jnp.moveaxis(C, 2, 1)                                   # [W,i2,k1,..]
+    D = ntt_axis_fourstep(Ct, field, inverse, base_fn, base_max)  # i2 -> k2
+    return D.reshape((W, m) + rest)                              # X[k2*n1+k1]
+
+
+def _base_jnp(x, field: Field, inverse: bool):
+    return ntt_along_axis(x, field, inverse=inverse)
+
 
 def ntt_fourstep(x, field: Field, inverse: bool = False):
     """x: uint32[W, n] Montgomery form, n a power of two >= 4."""
-    W, n = x.shape
+    n = x.shape[1]
     n1, n2 = split_log(n)
     if n2 == 1:
         return ntt_along_axis(x, field, inverse=inverse)
-    omega = field.inv_root_of_unity(n) if inverse else field.root_of_unity(n)
+    # base_max = column length of the first split (preserves the classic
+    # two-level structure at bench scale, recursing only beyond 2^20)
+    return ntt_axis_fourstep(x, field, inverse, _base_jnp,
+                             base_max=max(BASE_MAX, 1))
 
-    A = x.reshape(W, n1, n2)
-    B = ntt_along_axis(A, field, inverse=inverse)         # over i1 -> k1
-    T = power_matrix(field, omega, n1, n2)                # ω^{k1·i2}
-    C = limbs.mont_mul(B, T, field)
-    Ct = jnp.transpose(C, (0, 2, 1))                      # [W, i2, k1]
-    D = ntt_along_axis(Ct, field, inverse=inverse)        # over i2 -> k2
-    return D.reshape(W, n)                                # X[k2*n1 + k1]
+
+def _base_pallas(x, field: Field, inverse: bool):
+    from ..kernels import ntt_along_axis_pallas
+    W, m = x.shape[0], x.shape[1]
+    rest = x.shape[2:]
+    xf = x.reshape(W, m, -1) if rest else x.reshape(W, m, 1)
+    y = ntt_along_axis_pallas(xf, field, inverse=inverse)
+    return y.reshape((W, m) + rest)
+
+
+def ntt_fourstep_pallas(x, field: Field, inverse: bool = False):
+    """Four-step with the VMEM-fused Pallas kernel as the base transform
+    (the bellperson/GZKP-equivalent production path on one chip)."""
+    n = x.shape[1]
+    if n <= 2:
+        return ntt_along_axis(x, field, inverse=inverse)
+    return ntt_axis_fourstep(x, field, inverse, _base_pallas, base_max=512)

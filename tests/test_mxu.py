@@ -1,0 +1,88 @@
+"""MXU digit-plane path: codec roundtrip, modular matmul, full transform.
+
+Bit-exactness vs the Python oracle on the reference's de-facto test vectors
+(ramp inputs, SURVEY.md §4) — the int8 digit matmul must be exact integer
+arithmetic end-to-end or these fail.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import ntt_tpu as nt
+from ntt_tpu import digits, limbs, oracle
+from ntt_tpu.transforms.mxu import ntt_mxu
+
+
+def test_extract_digits_roundtrip():
+    f = nt.BLS12_381_FR
+    rng = random.Random(1)
+    vals = [rng.randrange(f.p) for _ in range(8)]
+    x = limbs.from_ints(vals, f)
+    d = np.asarray(digits.extract_digits(x, f), dtype=np.int64)
+    for j, v in enumerate(vals):
+        got = sum(int(d[t, j]) << (digits.DIGIT_BITS * t)
+                  for t in range(d.shape[0]))
+        assert got == v
+
+
+@pytest.mark.parametrize("field", [nt.SMALL, nt.BN254_FR, nt.BLS12_381_FR,
+                                   nt.GOLDILOCKS])
+def test_apply_matrix_random_linear_map(field):
+    """mont(M @ x) via one int8 matmul == host-exact result."""
+    f = field
+    m, batch = 8, 3
+    rng = random.Random(2)
+    M = [[rng.randrange(f.p) for _ in range(m)] for _ in range(m)]
+    xs = [[rng.randrange(f.p) for _ in range(m)] for _ in range(batch)]
+    scale = digits.matrix_prescale(f)
+    A = np.asarray(digits.conv_matrix(
+        [[v * scale % f.p for v in row] for row in M], f))
+    import jax.numpy as jnp
+    # data: [W, m, batch] Montgomery form
+    flat = [xs[b][i] for i in range(m) for b in range(batch)]
+    X = limbs.to_mont(
+        limbs.from_ints(flat, f).reshape(f.n_words, m, batch), f)
+    zb = (m * digits.n_digits(f) * digits.DIGIT_MASK ** 2).bit_length()
+    Y = digits.apply_matrix(jnp.asarray(A), X, f, m, zb)
+    got = nt.to_ints(limbs.from_mont(Y, f), f)
+    want = [sum(M[k][i] * xs[b][i] for i in range(m)) % f.p
+            for k in range(m) for b in range(batch)]
+    assert got == want
+
+
+def run_mxu(field, n):
+    x = oracle.ramp(n, field)
+    X = nt.from_ints(x, field)
+    golden = oracle.ntt_golden(x, field)
+    y = nt.to_ints(nt.ntt(X, field, algorithm="mxu"), field)
+    assert y == golden, f"{field.name} n={n} mxu forward"
+    rt = nt.to_ints(
+        nt.intt(nt.from_ints(golden, field), field, algorithm="mxu"), field)
+    assert rt == x, f"{field.name} n={n} mxu roundtrip"
+
+
+@pytest.mark.parametrize("log_n", [2, 6, 9])
+def test_mxu_small_field(log_n):
+    run_mxu(nt.SMALL, 1 << log_n)
+
+
+def test_mxu_bn254():
+    run_mxu(nt.BN254_FR, 64)
+
+
+def test_mxu_bls12_381_two_level():
+    # 2^7 forces the recursive split (64 x 2)
+    run_mxu(nt.BLS12_381_FR, 128)
+
+
+def test_mxu_goldilocks():
+    run_mxu(nt.GOLDILOCKS, 64)
+
+
+def test_mxu_coset_lde():
+    f, n = nt.SMALL, 64
+    x = oracle.ramp(n, f)
+    y = nt.to_ints(nt.coset_ntt(nt.from_ints(x, f), f, algorithm="mxu"), f)
+    assert y == oracle.coset_ntt_golden(x, f, f.generator)

@@ -1,0 +1,123 @@
+"""Component micro-benchmarks on the live backend.
+
+Times each building block of the flagship transform in isolation with the
+same in-graph chained-repeat protocol as bench.py, to attribute wall-clock
+between MXU matmul, VPU Montgomery ops, reduction, and relayout.
+
+Usage: python tools/microbench.py [logn] [field]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(name, fn, x, chain=4, reps=3):
+    looped = jax.jit(lambda v: jax.lax.fori_loop(0, chain, lambda i, z: fn(z), v))
+    y = looped(x)
+    y.block_until_ready()
+    np.asarray(jax.tree.leaves(y)[0]).ravel()[:1]
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.time()
+        y = looped(x)
+        y.block_until_ready()
+        np.asarray(jax.tree.leaves(y)[0]).ravel()[:1]
+        best = min(best, (time.time() - t0) / chain)
+    print(f"{name:38s} {best*1e3:9.3f} ms")
+    return best
+
+
+def main():
+    log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+    field_name = sys.argv[2] if len(sys.argv) > 2 else "bls12-381-fr"
+
+    import ntt_tpu as nt
+    from ntt_tpu import digits, limbs
+    from ntt_tpu.transforms import core, mxu
+
+    field = nt.get_field(field_name)
+    n = 1 << log_n
+    W = field.n_words
+    print(f"# backend={jax.devices()[0].device_kind} n=2^{log_n} "
+          f"field={field.name}")
+
+    def make_input():
+        i = jnp.arange(n, dtype=jnp.uint32)
+        planes = [i] + [jnp.zeros(n, jnp.uint32)] * (W - 1)
+        return limbs.to_mont(jnp.stack(planes, axis=0), field)
+
+    x = jax.jit(make_input)()
+    x.block_until_ready()
+
+    m = 64
+    B = n // m
+    xt = x.reshape(W, m, B)
+
+    # 1. one elementwise mont_mul over the full vector (the twiddle cost)
+    timeit("mont_mul (full vector, VPU)", lambda v: limbs.mont_mul(
+        v, v, field), x)
+
+    # 2. one add_mod
+    timeit("add_mod (full vector, VPU)", lambda v: limbs.add_mod(
+        v, v, field), x)
+
+    # 3. digit extraction only
+    def extract(v):
+        d = digits.extract_digits(v, field)
+        return jnp.stack([d.astype(jnp.uint32).sum(0) & np.uint32(0xFF)] * W,
+                         0) + v  # keep shape for chaining
+
+    timeit("extract_digits (+fold, VPU)", extract, x)
+
+    # 4. one full base-64 MXU matmul level incl. reduce
+    timeit("base64 matmul level (MXU+reduce)", lambda v: mxu._base_ntt(
+        v, field, False), xt)
+
+    # 5. one radix-2 dit stage (fourstep's per-stage cost)
+    master = jnp.asarray(core.twiddle_master(field, m, False))
+    timeit("dit_stage s=32 over [64, B]", lambda v: core.dit_stage(
+        v, 32, master[:, :32], field), xt)
+
+    # 6. transpose/relayout cost
+    timeit("moveaxis relayout", lambda v: jnp.moveaxis(
+        v.reshape(W, m, B), 2, 1).reshape(W, m, B), xt)
+
+    # 7. full transforms
+    timeit("ntt mxu (full)", lambda v: mxu.ntt_mxu(v, field), x)
+    from ntt_tpu.transforms.fourstep import ntt_fourstep
+    timeit("ntt fourstep (full)", lambda v: ntt_fourstep(v, field), x)
+
+    # 8. raw hardware rates (roofline calibration)
+    k = 2048
+    a8 = jnp.ones((k, k), jnp.int8)
+    t = timeit("int8 matmul 2048^3", lambda v: jax.lax.dot_general(
+        v, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.int8), a8)
+    print(f"  -> int8 MAC rate: {k**3 / t / 1e12:.2f} T MAC/s")
+    bf = jnp.ones((k, k), jnp.bfloat16)
+    t = timeit("bf16 matmul 2048^3", lambda v: jnp.dot(
+        v, v, preferred_element_type=jnp.float32).astype(jnp.bfloat16), bf)
+    print(f"  -> bf16 MAC rate: {k**3 / t / 1e12:.2f} T MAC/s")
+    u = jnp.ones((4096, 4096), jnp.uint32)
+    OPS = 64
+
+    def vpu_chain(v):
+        r = v
+        for _ in range(OPS):
+            r = (r * np.uint32(12345)) + v
+        return r
+
+    t = timeit("uint32 VPU chain (mul+add x64)", vpu_chain, u)
+    print(f"  -> uint32 VPU rate: {u.size * OPS * 2 / t / 1e12:.2f} T op/s")
+
+
+if __name__ == "__main__":
+    main()
