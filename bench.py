@@ -84,7 +84,10 @@ def main() -> None:
     # On tunneled backends both block_until_ready and dependent-call
     # chaining have been observed to return before remote execution
     # finishes; an in-graph loop + host fetch is the only honest clock.
-    chain = int(os.environ.get("BENCH_CHAIN", "2" if smoke else "8"))
+    # the axon tunnel costs ~300-500ms per dispatch regardless of work, so
+    # the in-graph chain must be long enough to amortize it (tools/
+    # microbench.py measures the floor explicitly)
+    chain = int(os.environ.get("BENCH_CHAIN", "2" if smoke else "32"))
 
     looped = jax.jit(lambda v: jax.lax.fori_loop(
         0, chain, lambda i, z: fn(z), v))

@@ -21,16 +21,27 @@ import jax.numpy as jnp
 
 from . import limbs
 from .fields import Field, get_field, inv_mod
-from .transforms.core import geometric_outer, ntt_along_axis, split_log
+from .transforms import fourstep as _fourstep
+from .transforms import mxu as _mxu
+from .transforms.core import host_power_matrix, host_powers_fast
 from .transforms.fourstep import ntt_fourstep, ntt_fourstep_pallas
 from .transforms.mxu import ntt_mxu
 from .transforms.naive import ntt_naive
 
+#: algorithm -> (transform fn(x, field, inverse, tws), twiddle collector
+#: n -> [(m, n1, n2)] of data-sized decomposition-twiddle tables the fn
+#: consumes; the tables are built host-side and passed into jit as arguments
+#: so neither their generation graph nor MB-scale constants bloat compiles)
 ALGORITHMS = {
-    "naive": ntt_naive,
-    "fourstep": ntt_fourstep,
-    "pallas": ntt_fourstep_pallas,
-    "mxu": ntt_mxu,
+    "naive": (lambda x, field, inverse, tws: ntt_naive(
+        x, field, inverse=inverse), lambda n: []),
+    "fourstep": (ntt_fourstep,
+                 lambda n: _fourstep.twiddle_requests(
+                     n, _fourstep.BASE_MAX)),
+    "pallas": (ntt_fourstep_pallas,
+               lambda n: _fourstep.twiddle_requests(
+                   n, _fourstep.PALLAS_BASE_MAX)),
+    "mxu": (ntt_mxu, _mxu.twiddle_requests),
 }
 
 _compiled_cache: dict = {}
@@ -43,35 +54,39 @@ def _scale_by_const(x, c_int: int, field: Field):
     return limbs.mont_mul(x, c, field)
 
 
-def _coset_powers_flat(field: Field, shift: int, n: int):
-    n1, n2 = split_log(n)
-    return geometric_outer(field, shift, n1, n2).reshape(field.n_words, n)
-
-
 def _build(field: Field, n: int, inverse: bool, algorithm: str,
            mont_io: bool, coset_shift):
-    fn = ALGORITHMS[algorithm]
+    fn, collect = ALGORITHMS[algorithm]
 
-    def run(x):
+    # host-built aux arrays, device-put once, passed as jit arguments
+    aux = {"tws": []}
+    for (m, n1, n2) in collect(n):
+        w = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
+        aux["tws"].append(jnp.asarray(host_power_matrix(field, w, n1, n2)))
+    if coset_shift is not None:
+        shift = coset_shift if not inverse else inv_mod(coset_shift, field.p)
+        aux["coset"] = jnp.asarray(host_powers_fast(field, shift, n))
+
+    def run(x, aux):
+        batch_dims = x.ndim - 2  # [W, n, *batch]
         if not mont_io:
             x = limbs.to_mont(x, field)
         if coset_shift is not None and not inverse:
-            x = limbs.mont_mul(
-                x, _coset_powers_flat(field, coset_shift, n), field)
-        y = fn(x, field, inverse=inverse)
+            cs = aux["coset"].reshape(aux["coset"].shape + (1,) * batch_dims)
+            x = limbs.mont_mul(x, cs, field)
+        y = fn(x, field, inverse, iter(aux["tws"]))
         if inverse:
             y = _scale_by_const(y, inv_mod(n, field.p), field)
             if coset_shift is not None:
-                y = limbs.mont_mul(
-                    y,
-                    _coset_powers_flat(
-                        field, inv_mod(coset_shift, field.p), n),
-                    field)
+                cs = aux["coset"].reshape(
+                    aux["coset"].shape + (1,) * batch_dims)
+                y = limbs.mont_mul(y, cs, field)
         if not mont_io:
             y = limbs.from_mont(y, field)
         return y
 
-    return jax.jit(run)
+    jitted = jax.jit(run)
+    return lambda x: jitted(x, aux)
 
 
 def _get_compiled(field: Field, n: int, inverse: bool, algorithm: str,
@@ -87,17 +102,19 @@ def _get_compiled(field: Field, n: int, inverse: bool, algorithm: str,
 def ntt(x, field: Field | str, inverse: bool = False,
         algorithm: str = "fourstep", mont_io: bool = False,
         coset_shift: int | None = None):
-    """Number Theoretic Transform of ``x`` (uint32[W, n], natural order).
+    """Number Theoretic Transform of ``x`` (uint32[W, n] or batched
+    uint32[W, n, *batch]; transforms along axis 1, natural order).
 
     Forward: X[k] = Σ_i x[i]·ω_n^{ik} mod p, with ω_n = g^((p-1)/n) —
     identical semantics to the reference golden NTT (GZKP-NTT.cu:30-48).
     """
     if isinstance(field, str):
         field = get_field(field)
-    n = x.shape[-1]
+    n = x.shape[1]
     assert n & (n - 1) == 0, "transform size must be a power of two"
     assert x.shape[0] == field.n_words, (
-        f"expected limb-leading uint32[{field.n_words}, n], got {x.shape}")
+        f"expected limb-leading uint32[{field.n_words}, n, *batch], "
+        f"got {x.shape}")
     return _get_compiled(field, n, inverse, algorithm, mont_io,
                          coset_shift)(x)
 
@@ -130,8 +147,9 @@ def lde(x, field: Field | str, blowup: int = 4, shift: int | None = None,
     if isinstance(field, str):
         field = get_field(field)
     shift = field.generator if shift is None else shift
-    W, n = x.shape
+    W, n = x.shape[0], x.shape[1]
     coeffs = intt(x, field, algorithm=algorithm)
+    zshape = (W, n * (blowup - 1)) + x.shape[2:]
     padded = jnp.concatenate(
-        [coeffs, jnp.zeros((W, n * (blowup - 1)), dtype=jnp.uint32)], axis=1)
+        [coeffs, jnp.zeros(zshape, dtype=jnp.uint32)], axis=1)
     return coset_ntt(padded, field, shift=shift, algorithm=algorithm)

@@ -192,4 +192,8 @@ FIELDS = {f.name: f for f in (SMALL, BN254_FR, BLS12_381_FR, GOLDILOCKS)}
 
 
 def get_field(name: str) -> Field:
-    return FIELDS[name]
+    try:
+        return FIELDS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown field {name!r}; available: {sorted(FIELDS)}") from None

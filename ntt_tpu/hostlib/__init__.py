@@ -107,6 +107,20 @@ def ntt(data: list, field: Field, inverse: bool = False) -> list:
     return _arr_to_ints(out)
 
 
+def powers_np(base: int, count: int, field: Field,
+              mont_form: bool = False) -> np.ndarray:
+    """Powers base^0..base^{count-1} as word planes np.uint32[W, count] —
+    no Python-int round trip (fast path for data-sized twiddle tables)."""
+    lib = _load()
+    assert lib is not None, "hostfield library unavailable"
+    out = np.empty((count, 4), dtype=np.uint64)
+    p, b = _fe(field.p), _fe(base % field.p)
+    lib.hf_powers(_p64(p), _p64(b), count,
+                  field.mont_bits if mont_form else 0, _p64(out))
+    words = out.view(np.uint32).reshape(count, 8)  # little-endian limbs
+    return np.ascontiguousarray(words[:, : field.n_words].T)
+
+
 def powers(base: int, count: int, field: Field,
            mont_form: bool = False) -> list:
     """Powers base^0..base^{count-1}; ``mont_form=True`` returns them in the

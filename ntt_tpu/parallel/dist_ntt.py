@@ -86,11 +86,32 @@ def unshard(y) -> jnp.ndarray:
     return jax.device_get(y).reshape(W, -1)
 
 
+def _axis_fn(algorithm: str):
+    """Local per-device sub-NTT implementation (the 'base transform' of the
+    distributed four-step): jnp stage ladder, Pallas VMEM kernel, or the MXU
+    digit-matmul path."""
+    if algorithm == "jnp":
+        return lambda x, field, inverse: ntt_along_axis(
+            x, field, inverse=inverse)
+    if algorithm == "pallas":
+        from ..transforms.fourstep import _base_pallas
+        from ..transforms.fourstep import ntt_axis_fourstep
+        return lambda x, field, inverse: ntt_axis_fourstep(
+            x, field, inverse, _base_pallas, base_max=512)
+    if algorithm == "mxu":
+        from ..transforms.mxu import ntt_axis_mxu
+        return lambda x, field, inverse: ntt_axis_mxu(
+            x, field, inverse=inverse)
+    raise ValueError(f"unknown local algorithm {algorithm!r}")
+
+
 def _local_step(xb, idx_base, field: Field, n1: int, n2: int, n2_loc: int,
-                omega: int, inverse: bool, n_inv: int | None):
+                omega: int, inverse: bool, n_inv: int | None,
+                algorithm: str = "jnp"):
     """Per-device body (inside shard_map). xb: uint32[W, n1, n2_loc]."""
+    ntt_axis = _axis_fn(algorithm)
     # 1. column NTTs over i1 (local)
-    B = ntt_along_axis(xb, field, inverse=inverse)
+    B = ntt_axis(xb, field, inverse)
 
     # 2. decomposition twiddle: static part ω^{k1·j} ...
     Ts = power_matrix(field, omega, n1, n2_loc)
@@ -119,7 +140,7 @@ def _local_step(xb, idx_base, field: Field, n1: int, n2: int, n2_loc: int,
 
     # 4. local transpose + row NTTs over i2
     Ct = jnp.transpose(Ca, (0, 2, 1))  # [W, n2, n1_loc]
-    D = ntt_along_axis(Ct, field, inverse=inverse)
+    D = ntt_axis(Ct, field, inverse)
 
     if n_inv is not None:
         c = limbs.const_planes(field.to_mont_int(n_inv), field, 2)
@@ -128,7 +149,7 @@ def _local_step(xb, idx_base, field: Field, n1: int, n2: int, n2_loc: int,
 
 
 def make_dist_ntt(field: Field, n: int, mesh: Mesh, inverse: bool = False,
-                  mont_io: bool = True):
+                  mont_io: bool = True, algorithm: str = "jnp"):
     """Build a jitted distributed NTT for (field, n, mesh).
 
     Takes uint32[W, n1, n2] sharded P(None, None, 'ntt') (see
@@ -150,7 +171,7 @@ def make_dist_ntt(field: Field, n: int, mesh: Mesh, inverse: bool = False,
 
     body = functools.partial(
         _local_step, field=field, n1=n1, n2=n2, n2_loc=n2_loc,
-        omega=omega, inverse=inverse, n_inv=n_inv)
+        omega=omega, inverse=inverse, n_inv=n_inv, algorithm=algorithm)
 
     spec = P(None, None, AXIS)
     mapped = jax.shard_map(
@@ -173,18 +194,20 @@ def make_dist_ntt(field: Field, n: int, mesh: Mesh, inverse: bool = False,
 _dist_cache: dict = {}
 
 
-def _get(field: Field, n: int, mesh: Mesh, inverse: bool, mont_io: bool):
-    key = (field.name, n, id(mesh), inverse, mont_io)
+def _get(field: Field, n: int, mesh: Mesh, inverse: bool, mont_io: bool,
+         algorithm: str = "jnp"):
+    key = (field.name, n, id(mesh), inverse, mont_io, algorithm)
     if key not in _dist_cache:
-        _dist_cache[key] = make_dist_ntt(field, n, mesh, inverse, mont_io)
+        _dist_cache[key] = make_dist_ntt(field, n, mesh, inverse, mont_io,
+                                         algorithm)
     return _dist_cache[key]
 
 
 def dist_ntt(x_sharded, field: Field, mesh: Mesh, n: int,
-             mont_io: bool = True):
-    return _get(field, n, mesh, False, mont_io)(x_sharded)
+             mont_io: bool = True, algorithm: str = "jnp"):
+    return _get(field, n, mesh, False, mont_io, algorithm)(x_sharded)
 
 
 def dist_intt(x_sharded, field: Field, mesh: Mesh, n: int,
-              mont_io: bool = True):
-    return _get(field, n, mesh, True, mont_io)(x_sharded)
+              mont_io: bool = True, algorithm: str = "jnp"):
+    return _get(field, n, mesh, True, mont_io, algorithm)(x_sharded)

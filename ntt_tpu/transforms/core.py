@@ -131,6 +131,33 @@ def ntt_along_axis(x, field: Field, inverse: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Host-side data-sized twiddle tables (passed into jit as arguments, so the
+# generation graph never bloats the compiled program — the C++ hostlib plays
+# the role CGBN's GMP backend plays for the reference's host-side twiddle
+# precompute, /root/reference/src/big-num.cu:122-145)
+# ---------------------------------------------------------------------------
+
+def host_powers_fast(field: Field, base: int, count: int) -> np.ndarray:
+    """Montgomery-form powers base^0..base^{count-1} as np.uint32[W, count]
+    via the native hostlib when available (Python-int fallback)."""
+    from .. import hostlib
+    if field.bits <= 256 and hostlib.available():
+        return hostlib.powers_np(base, count, field, mont_form=True)
+    return host_powers(field, base, count)
+
+
+def host_power_matrix(field: Field, base: int, n1: int, n2: int) -> np.ndarray:
+    """Montgomery-form T[i, j] = base^{i*j} as np.uint32[W, n1, n2], built on
+    host (the four-step decomposition twiddle — see :func:`power_matrix` for
+    the on-device variant used inside shard_map)."""
+    count = (n1 - 1) * (n2 - 1) + 1
+    pw = host_powers_fast(field, base, count)
+    idx = np.outer(np.arange(n1, dtype=np.int64),
+                   np.arange(n2, dtype=np.int64))
+    return np.ascontiguousarray(pw[:, idx])
+
+
+# ---------------------------------------------------------------------------
 # Device-side twiddle generation (data-sized structures)
 # ---------------------------------------------------------------------------
 

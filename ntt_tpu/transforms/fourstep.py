@@ -44,10 +44,26 @@ from .core import ntt_along_axis, power_matrix, split_log
 BASE_MAX = 1024
 
 
+def twiddle_requests(m: int, base_max: int = BASE_MAX) -> list:
+    """The (m, n1, n2) decomposition-twiddle tables the recursion consumes,
+    in consumption order (build them with core.host_power_matrix and pass an
+    iterator as ``tws`` to keep data-sized twiddle generation out of jit)."""
+    if m <= base_max:
+        return []
+    n1, n2 = split_log(m)
+    return (twiddle_requests(n1, base_max) + [(m, n1, n2)]
+            + twiddle_requests(n2, base_max))
+
+
 def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
-                      base_max: int = BASE_MAX):
+                      base_max: int = BASE_MAX, tws=None):
     """Recursive four-step NTT along axis 1 of uint32[W, m, *batch] with a
-    pluggable base transform (``base_fn(x[W, m, *b], field, inverse)``)."""
+    pluggable base transform (``base_fn(x[W, m, *b], field, inverse)``).
+
+    ``tws``: optional iterator of pre-built decomposition-twiddle arrays
+    (order per :func:`twiddle_requests`); None generates them on device
+    (used inside shard_map where each device derives its own slice).
+    """
     W, m = x.shape[0], x.shape[1]
     rest = x.shape[2:]
     if m <= base_max:
@@ -56,11 +72,12 @@ def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
     omega = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
 
     A = x.reshape((W, n1, n2) + rest)
-    B = ntt_axis_fourstep(A, field, inverse, base_fn, base_max)  # i1 -> k1
-    T = power_matrix(field, omega, n1, n2)                       # ω^{k1·i2}
+    B = ntt_axis_fourstep(A, field, inverse, base_fn, base_max, tws)  # -> k1
+    T = next(tws) if tws is not None else power_matrix(
+        field, omega, n1, n2)                                    # ω^{k1·i2}
     C = limbs.mont_mul(B, T.reshape(T.shape + (1,) * len(rest)), field)
     Ct = jnp.moveaxis(C, 2, 1)                                   # [W,i2,k1,..]
-    D = ntt_axis_fourstep(Ct, field, inverse, base_fn, base_max)  # i2 -> k2
+    D = ntt_axis_fourstep(Ct, field, inverse, base_fn, base_max, tws)
     return D.reshape((W, m) + rest)                              # X[k2*n1+k1]
 
 
@@ -68,16 +85,14 @@ def _base_jnp(x, field: Field, inverse: bool):
     return ntt_along_axis(x, field, inverse=inverse)
 
 
-def ntt_fourstep(x, field: Field, inverse: bool = False):
+def ntt_fourstep(x, field: Field, inverse: bool = False, tws=None):
     """x: uint32[W, n] Montgomery form, n a power of two >= 4."""
     n = x.shape[1]
     n1, n2 = split_log(n)
     if n2 == 1:
         return ntt_along_axis(x, field, inverse=inverse)
-    # base_max = column length of the first split (preserves the classic
-    # two-level structure at bench scale, recursing only beyond 2^20)
     return ntt_axis_fourstep(x, field, inverse, _base_jnp,
-                             base_max=max(BASE_MAX, 1))
+                             base_max=BASE_MAX, tws=tws)
 
 
 def _base_pallas(x, field: Field, inverse: bool):
@@ -89,10 +104,14 @@ def _base_pallas(x, field: Field, inverse: bool):
     return y.reshape((W, m) + rest)
 
 
-def ntt_fourstep_pallas(x, field: Field, inverse: bool = False):
+PALLAS_BASE_MAX = 512
+
+
+def ntt_fourstep_pallas(x, field: Field, inverse: bool = False, tws=None):
     """Four-step with the VMEM-fused Pallas kernel as the base transform
     (the bellperson/GZKP-equivalent production path on one chip)."""
     n = x.shape[1]
     if n <= 2:
         return ntt_along_axis(x, field, inverse=inverse)
-    return ntt_axis_fourstep(x, field, inverse, _base_pallas, base_max=512)
+    return ntt_axis_fourstep(x, field, inverse, _base_pallas,
+                             base_max=PALLAS_BASE_MAX, tws=tws)

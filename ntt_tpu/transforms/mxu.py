@@ -51,9 +51,10 @@ def _base_matrix(field: Field, m: int, inverse: bool) -> jnp.ndarray:
         wp = [pow(w, j, p) for j in range(m)]
         entries = [[wp[(i * k) % m] * scale % p for i in range(m)]
                    for k in range(m)]
-        got = jnp.asarray(digits.conv_matrix(entries, field))
+        got = digits.conv_matrix(entries, field)  # cache host numpy only —
+        # a cached jnp array would leak tracers across jit traces
         _matrix_cache[key] = got
-    return got
+    return jnp.asarray(got)
 
 
 def _zmax_bits(field: Field, m: int) -> int:
@@ -71,7 +72,15 @@ def _base_ntt(x, field: Field, inverse: bool):
     return digits.apply_matrix(A, x, field, m, _zmax_bits(field, m))
 
 
-def ntt_axis_mxu(x, field: Field, inverse: bool = False):
+def twiddle_requests(m: int) -> list:
+    """(m, n1, n2) decomposition-twiddle tables in consumption order (see
+    fourstep.twiddle_requests)."""
+    if m <= BASE:
+        return []
+    return [(m, BASE, m // BASE)] + twiddle_requests(m // BASE)
+
+
+def ntt_axis_mxu(x, field: Field, inverse: bool = False, tws=None):
     """Full natural-order NTT along axis 1 of uint32[W, m, *batch]
     (Montgomery form in/out, no 1/n scaling) — MXU base transforms."""
     W, m = x.shape[0], x.shape[1]
@@ -83,13 +92,14 @@ def ntt_axis_mxu(x, field: Field, inverse: bool = False):
 
     A = x.reshape((W, n1, n2) + rest)
     B = _base_ntt(A, field, inverse)                     # columns over i1
-    T = power_matrix(field, omega, n1, n2)               # ω_m^{k1·i2}
+    T = next(tws) if tws is not None else power_matrix(
+        field, omega, n1, n2)                            # ω_m^{k1·i2}
     C = limbs.mont_mul(B, T.reshape(T.shape + (1,) * len(rest)), field)
     Ct = jnp.moveaxis(C, 2, 1)                           # [W, i2, k1, *rest]
-    D = ntt_axis_mxu(Ct, field, inverse)                 # rows over i2
+    D = ntt_axis_mxu(Ct, field, inverse, tws)            # rows over i2
     return D.reshape((W, m) + rest)                      # X[k2*n1 + k1]
 
 
-def ntt_mxu(x, field: Field, inverse: bool = False):
+def ntt_mxu(x, field: Field, inverse: bool = False, tws=None):
     """x: uint32[W, n] Montgomery form — flagship MXU transform."""
-    return ntt_axis_mxu(x, field, inverse)
+    return ntt_axis_mxu(x, field, inverse, tws=tws)

@@ -54,6 +54,19 @@ def test_dist_matches_single_chip_bn254():
     assert got == single == oracle.ntt_golden(x, f)
 
 
+@pytest.mark.parametrize("algorithm", ["mxu", "pallas"])
+def test_dist_local_algorithms(algorithm):
+    """The per-device sub-NTT is pluggable (jnp/Pallas/MXU); every local
+    algorithm must produce the same bit-exact distributed transform."""
+    f, n = nt.SMALL, 256
+    mesh = _mesh(4)
+    x = oracle.ramp(n, f)
+    Xs = shard_for_ntt(limbs.to_mont(nt.from_ints(x, f), f), f, mesh)
+    y = make_dist_ntt(f, n, mesh, algorithm=algorithm)(Xs)
+    got = nt.to_ints(limbs.from_mont(unshard(y), f), f)
+    assert got == oracle.ntt_golden(x, f)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

@@ -88,6 +88,20 @@ def test_nonramp_input():
     assert got == oracle.ntt_golden(x, f)
 
 
+def test_batched_api():
+    """uint32[W, n, B] transforms along axis 1 — every column matches the
+    per-vector golden model."""
+    import numpy as np
+    f, n, B = nt.SMALL, 64, 3
+    cols = [[(i * 7 + b) % f.p for i in range(n)] for b in range(B)]
+    flat = [cols[b][i] for i in range(n) for b in range(B)]
+    X = nt.from_ints(flat, f).reshape(f.n_words, n, B)
+    got = np.asarray(nt.ntt(X, f, algorithm="fourstep"))
+    for b in range(B):
+        assert [int(got[0, i, b]) for i in range(n)] == \
+            oracle.ntt_golden(cols[b], f)
+
+
 def test_linearity_spot_check():
     """NTT(a+b) == NTT(a)+NTT(b) — independent algebraic property."""
     f, n = nt.SMALL, 64

