@@ -77,35 +77,59 @@ def main() -> None:
     x = jax.jit(make_input)()
     x.block_until_ready()
 
-    fn = nt.api._get_compiled(field, n, False, algo, True, None)
+    run, aux = nt.api.get_runner(field, n, False, algo, True, None)
 
     # Timing protocol: the repeat loop lives INSIDE one jit (lax.fori_loop
     # with a loop-carried dependency) and the result is fetched to host.
     # On tunneled backends both block_until_ready and dependent-call
     # chaining have been observed to return before remote execution
     # finishes; an in-graph loop + host fetch is the only honest clock.
-    # the axon tunnel costs ~300-500ms per dispatch regardless of work, so
+    # The axon tunnel costs ~300-500ms per dispatch regardless of work, so
     # the in-graph chain must be long enough to amortize it (tools/
-    # microbench.py measures the floor explicitly)
+    # microbench.py measures the floor explicitly). aux (twiddle tables,
+    # conv matrices) is passed as an argument — closing over it would embed
+    # MB-scale constants in the executable.
     chain = int(os.environ.get("BENCH_CHAIN", "2" if smoke else "32"))
 
-    looped = jax.jit(lambda v: jax.lax.fori_loop(
-        0, chain, lambda i, z: fn(z), v))
+    looped = jax.jit(lambda v, aux: jax.lax.fori_loop(
+        0, chain, lambda i, z: run(z, aux), v))
+
+    def sync1(y):
+        np.asarray(jax.jit(lambda v: v.ravel()[:1])(y))
+
+    # measure the fixed dispatch round-trip (tunnel latency) and subtract
+    tiny = jax.jit(lambda v: v + np.uint32(1))
+    sync1(tiny(x))
+    floor = 1e9
+    for _ in range(5):
+        t0 = time.time()
+        sync1(tiny(x))
+        floor = min(floor, time.time() - t0)
 
     t_compile0 = time.time()
-    y = looped(x)
-    y.block_until_ready()
-    np.asarray(y[:1, :1])  # full host sync
+    y = looped(x, aux)
+    sync1(y)
     compile_s = time.time() - t_compile0
 
     times = []
     for _ in range(reps):
         t0 = time.time()
-        y = looped(x)
-        y.block_until_ready()
-        np.asarray(y[:1, :1])
-        times.append((time.time() - t0) / chain)
+        y = looped(x, aux)
+        sync1(y)
+        times.append(max(time.time() - t0 - floor, 1e-9) / chain)
     best = min(times)
+
+    # optional profiler capture (BENCH_PROFILE=<dir>); works on local
+    # backends, best-effort through the remote tunnel
+    prof_dir = os.environ.get("BENCH_PROFILE")
+    if prof_dir:
+        try:
+            with jax.profiler.trace(prof_dir):
+                y = looped(x, aux)
+                y.block_until_ready()
+            print(f"# profile written to {prof_dir}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# profiling unavailable: {e}", file=sys.stderr)
 
     butterflies = n * log_n / 2
     bps = butterflies / best
@@ -113,7 +137,8 @@ def main() -> None:
 
     print(
         f"# field={field.name} n=2^{log_n} algo={algo} "
-        f"compile+first={compile_s:.1f}s times={['%.4f' % t for t in times]} "
+        f"compile+first={compile_s:.1f}s floor={floor*1e3:.0f}ms "
+        f"times={['%.4f' % t for t in times]} "
         f"backend={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )

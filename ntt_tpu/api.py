@@ -24,24 +24,60 @@ from .fields import Field, get_field, inv_mod
 from .transforms import fourstep as _fourstep
 from .transforms import mxu as _mxu
 from .transforms.core import host_power_matrix, host_powers_fast
-from .transforms.fourstep import ntt_fourstep, ntt_fourstep_pallas
-from .transforms.mxu import ntt_mxu
+from .transforms.fourstep import (ntt_fourstep, ntt_fourstep_pallas,
+                                  ntt_fourstep_pallas_fused)
+from .transforms.mxu import ntt_mxu, ntt_mxu_pallas
 from .transforms.naive import ntt_naive
 
-#: algorithm -> (transform fn(x, field, inverse, tws), twiddle collector
-#: n -> [(m, n1, n2)] of data-sized decomposition-twiddle tables the fn
-#: consumes; the tables are built host-side and passed into jit as arguments
-#: so neither their generation graph nor MB-scale constants bloat compiles)
+def _tw_tables(field, n, inverse, requests):
+    out = []
+    for (m, n1, n2) in requests:
+        w = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
+        out.append(jnp.asarray(host_power_matrix(field, w, n1, n2)))
+    return out
+
+
+def _prep_fourstep(base_max):
+    def prep(field, n, inverse):
+        return {"tws": _tw_tables(
+            field, n, inverse, _fourstep.twiddle_requests(n, base_max))}
+    return prep
+
+
+def _prep_mxu(field, n, inverse):
+    return {"tws": _tw_tables(field, n, inverse, _mxu.twiddle_requests(n)),
+            "mats": _mxu.base_mats(field, n, inverse)}
+
+
+def _prep_mxu_fused(field, n, inverse):
+    return {"tws": _mxu.expanded_twiddles(field, n, inverse),
+            "mats": _mxu.base_mats(field, n, inverse)}
+
+
+#: algorithm -> (fn(x, field, inverse, aux), prepare(field, n, inverse) ->
+#: aux pytree of device arrays). ALL data-sized tables (decomposition
+#: twiddles, base conv matrices) live in aux and enter jit as arguments —
+#: embedding them as constants bloats/OOMs compiles and breaks outer-jit
+#: composition (e.g. the benchmark chain loop).
 ALGORITHMS = {
-    "naive": (lambda x, field, inverse, tws: ntt_naive(
-        x, field, inverse=inverse), lambda n: []),
-    "fourstep": (ntt_fourstep,
-                 lambda n: _fourstep.twiddle_requests(
-                     n, _fourstep.BASE_MAX)),
-    "pallas": (ntt_fourstep_pallas,
-               lambda n: _fourstep.twiddle_requests(
-                   n, _fourstep.PALLAS_BASE_MAX)),
-    "mxu": (ntt_mxu, _mxu.twiddle_requests),
+    "naive": (lambda x, field, inverse, aux: ntt_naive(
+        x, field, inverse=inverse), lambda field, n, inverse: {}),
+    "fourstep": (lambda x, field, inverse, aux: ntt_fourstep(
+        x, field, inverse, iter(aux["tws"])),
+        _prep_fourstep(_fourstep.BASE_MAX)),
+    "pallas": (lambda x, field, inverse, aux: ntt_fourstep_pallas(
+        x, field, inverse, iter(aux["tws"])),
+        _prep_fourstep(_fourstep.PALLAS_BASE_MAX)),
+    "mxu": (lambda x, field, inverse, aux: ntt_mxu(
+        x, field, inverse, iter(aux["tws"]), aux["mats"]), _prep_mxu),
+    "mxu_pallas": (lambda x, field, inverse, aux: ntt_mxu_pallas(
+        x, field, inverse, iter(aux["tws"]), aux["mats"]), _prep_mxu),
+    "mxu_fused": (lambda x, field, inverse, aux: _mxu.ntt_mxu_fused(
+        x, field, inverse, iter(aux["tws"]), aux["mats"]), _prep_mxu_fused),
+    "pallas_fused": (lambda x, field, inverse, aux: ntt_fourstep_pallas_fused(
+        x, field, inverse, iter(aux["tws"])),
+        lambda field, n, inverse: {"tws": _mxu.expanded_twiddles(
+            field, n, inverse, base=_fourstep.FUSED_M)}),
 }
 
 _compiled_cache: dict = {}
@@ -54,15 +90,14 @@ def _scale_by_const(x, c_int: int, field: Field):
     return limbs.mont_mul(x, c, field)
 
 
-def _build(field: Field, n: int, inverse: bool, algorithm: str,
-           mont_io: bool, coset_shift):
-    fn, collect = ALGORITHMS[algorithm]
-
-    # host-built aux arrays, device-put once, passed as jit arguments
-    aux = {"tws": []}
-    for (m, n1, n2) in collect(n):
-        w = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
-        aux["tws"].append(jnp.asarray(host_power_matrix(field, w, n1, n2)))
+def get_runner(field: Field, n: int, inverse: bool, algorithm: str,
+               mont_io: bool, coset_shift):
+    """(run, aux): ``run(x, aux)`` is a pure traceable function and ``aux``
+    the pytree of device-resident tables it consumes. Wrap run in your own
+    jit (benchmark chain loops etc.) passing aux as an argument — never
+    close over it."""
+    fn, prepare = ALGORITHMS[algorithm]
+    aux = prepare(field, n, inverse)
     if coset_shift is not None:
         shift = coset_shift if not inverse else inv_mod(coset_shift, field.p)
         aux["coset"] = jnp.asarray(host_powers_fast(field, shift, n))
@@ -74,7 +109,7 @@ def _build(field: Field, n: int, inverse: bool, algorithm: str,
         if coset_shift is not None and not inverse:
             cs = aux["coset"].reshape(aux["coset"].shape + (1,) * batch_dims)
             x = limbs.mont_mul(x, cs, field)
-        y = fn(x, field, inverse, iter(aux["tws"]))
+        y = fn(x, field, inverse, aux)
         if inverse:
             y = _scale_by_const(y, inv_mod(n, field.p), field)
             if coset_shift is not None:
@@ -85,6 +120,12 @@ def _build(field: Field, n: int, inverse: bool, algorithm: str,
             y = limbs.from_mont(y, field)
         return y
 
+    return run, aux
+
+
+def _build(field: Field, n: int, inverse: bool, algorithm: str,
+           mont_io: bool, coset_shift):
+    run, aux = get_runner(field, n, inverse, algorithm, mont_io, coset_shift)
     jitted = jax.jit(run)
     return lambda x: jitted(x, aux)
 

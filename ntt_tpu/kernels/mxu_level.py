@@ -1,0 +1,124 @@
+"""Pallas kernel: one FUSED four-step level (MXU path).
+
+Per level of the peel-64 recursion the XLA pipeline is
+
+    base matmul -> reduce -> [HBM] -> twiddle mont_mul -> [HBM] ->
+    moveaxis relayout -> [HBM]
+
+i.e. three full HBM round trips. This kernel fuses the whole level per
+batch tile in VMEM:
+
+    load x tile -> digits -> MXU matmul -> Montgomery reduce ->
+    twiddle mont_mul (T tile blocked alongside x) -> TRANSPOSED store
+
+so each level is one HBM pass. The transposed store realizes the
+four-step transpose in the output BlockSpec (the block lands at the
+swapped axis position), which is the reference SSIP stage-2 cross-store
+idea (/root/reference/src/GZKP-NTT.cu:1437-1447) expressed as a Pallas
+index map.
+
+Layout: x viewed as uint32[W, m, B] with the transform axis m on sublanes
+and the batch B on lanes; the twiddle T is full-resolution [W, m, B]
+(repeating across the already-processed suffix at deeper levels — built
+host-side once per config). Output [W, B, m] when transposing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import digits, limbs
+from ..fields import Field, get_field
+
+DEFAULT_BATCH_TILE = 256
+
+
+def _kernel_tw(x_ref, a_ref, t_ref, o_ref, *, field, m, zmax_bits,
+               transpose_out):
+    _body(x_ref, a_ref, t_ref, o_ref, field, m, zmax_bits, transpose_out)
+
+
+def _kernel_no_tw(x_ref, a_ref, o_ref, *, field, m, zmax_bits,
+                  transpose_out):
+    _body(x_ref, a_ref, None, o_ref, field, m, zmax_bits, transpose_out)
+
+
+def _body(x_ref, a_ref, t_ref, o_ref, field, m, zmax_bits, transpose_out):
+    x = x_ref[:]                                    # [W, m, Bt]
+    Bt = x.shape[2]
+    D = digits.n_digits(field)
+    E = 2 * D - 1
+    d = digits.extract_digits(x, field)             # [D, m, Bt] int8
+    Z = jax.lax.dot_general(
+        a_ref[:], d.reshape(D * m, Bt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = digits.recompose_reduce(
+        Z.reshape(E, m, Bt), field, zmax_bits)       # [W, m, Bt]
+    if t_ref is not None:
+        y = limbs.mont_mul(y, t_ref[:], field)
+    o_ref[:] = jnp.swapaxes(y, 1, 2) if transpose_out else y
+
+
+@functools.lru_cache(maxsize=None)
+def _build(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
+           transpose_out: bool, interpret: bool):
+    field = get_field(field_name)
+    W = field.n_words
+    D = digits.n_digits(field)
+    E = 2 * D - 1
+    zmax_bits = (m * D * digits.DIGIT_MASK ** 2).bit_length()
+
+    kern = functools.partial(
+        _kernel_tw if has_tw else _kernel_no_tw,
+        field=field, m=m, zmax_bits=zmax_bits, transpose_out=transpose_out)
+
+    in_specs = [
+        pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((E * m, D * m), lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_tw:
+        in_specs.append(pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                                     memory_space=pltpu.VMEM))
+    if transpose_out:
+        out_spec = pl.BlockSpec((W, Bt, m), lambda j: (0, j, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (W, B, m)
+    else:
+        out_spec = pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = (W, m, B)
+
+    def call(x3, A, T3=None):
+        args = (x3, A) + ((T3,) if has_tw else ())
+        return pl.pallas_call(
+            kern,
+            grid=(B // Bt,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
+            interpret=interpret,
+        )(*args)
+
+    return call
+
+
+def fused_level(x3, field: Field, A, T3=None, transpose_out: bool = True,
+                batch_tile: int | None = None):
+    """One fused four-step level on uint32[W, m, B]: base matmul (conv
+    matrix A) + optional full-resolution twiddle T3 [W, m, B] + optional
+    transposed store -> uint32[W, B, m] (else [W, m, B])."""
+    W, m, B = x3.shape
+    Bt = batch_tile or min(DEFAULT_BATCH_TILE, B)
+    assert B % Bt == 0
+    interpret = jax.default_backend() != "tpu"
+    call = _build(field.name, m, B, Bt, T3 is not None, transpose_out,
+                  interpret)
+    return call(x3, A, T3) if T3 is not None else call(x3, A)

@@ -1,0 +1,97 @@
+"""Pallas kernel: fused MXU base-NTT (digit matmul + reduction in VMEM).
+
+The XLA version of the MXU path (transforms/mxu.py) materializes the int32
+digit-product planes Z[(2D-1)*m, B] in HBM — ~9x the data size — between
+the matmul and the Montgomery reduction. This kernel fuses the whole base
+transform per batch tile in VMEM:
+
+    load x tile  ->  extract int8 digits  ->  MXU int8 matmul against the
+    resident DFT convolution matrix  ->  rebase digit sums to half planes
+    ->  CIOS Montgomery wide-reduce  ->  store canonical words
+
+so HBM sees only the input and output word planes (plus one read of the
+convolution matrix, which stays VMEM-resident across the whole grid).
+
+This is the production fusion the reference approximates with its
+shared-memory staging of CGBN limbs (/root/reference/src/big-num.cu:199-204:
+limbs staged into shared memory around the Montgomery butterfly) — on TPU
+the staging target is VMEM and the multiplier is the MXU.
+
+Arithmetic is shared with the XLA path: ``digits.extract_digits`` /
+``digits.recompose_reduce`` trace into the kernel unchanged (single
+bit-exactness surface).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import digits
+from ..fields import Field, get_field
+
+DEFAULT_BATCH_TILE = 256
+
+
+def _kernel(x_ref, a_ref, o_ref, *, field: Field, m: int, zmax_bits: int):
+    x = x_ref[:]                                   # [W, m, Bt]
+    D = digits.n_digits(field)
+    E = 2 * D - 1
+    Bt = x.shape[2]
+    d = digits.extract_digits(x, field)            # [D, m, Bt] int8
+    Z = jax.lax.dot_general(
+        a_ref[:], d.reshape(D * m, Bt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)          # [E*m, Bt]
+    o_ref[:] = digits.recompose_reduce(
+        Z.reshape(E, m, Bt), field, zmax_bits)
+
+
+@functools.lru_cache(maxsize=None)
+def _build(field_name: str, m: int, Bt: int, interpret: bool):
+    field = get_field(field_name)
+    W = field.n_words
+    D = digits.n_digits(field)
+    E = 2 * D - 1
+    zmax_bits = (m * D * digits.DIGIT_MASK ** 2).bit_length()
+    kern = functools.partial(_kernel, field=field, m=m, zmax_bits=zmax_bits)
+
+    def call(x, A):
+        B = x.shape[2]
+        return pl.pallas_call(
+            kern,
+            grid=(B // Bt,),
+            in_specs=[
+                pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E * m, D * m), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
+            interpret=interpret,
+        )(x, A)
+
+    return call
+
+
+def base_ntt_mxu_pallas(x, field: Field, inverse: bool,
+                        batch_tile: int | None = None, A=None):
+    """m-point NTT along axis 1 of uint32[W, m, B] as one fused Pallas
+    kernel (m <= 64; Montgomery form in/out). Pass the conv matrix ``A``
+    explicitly when calling under an outer jit (avoids constant embedding)."""
+    W, m, B = x.shape
+    if m == 1:
+        return x
+    if A is None:
+        from ..transforms.mxu import _base_matrix
+        A = _base_matrix(field, m, inverse)
+    Bt = batch_tile or min(DEFAULT_BATCH_TILE, B)
+    assert B % Bt == 0, f"batch {B} must be divisible by tile {Bt}"
+    interpret = jax.default_backend() != "tpu"
+    return _build(field.name, m, Bt, interpret)(x, A)

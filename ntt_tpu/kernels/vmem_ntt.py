@@ -56,9 +56,8 @@ def _stage_twiddles(field: Field, m: int, inverse: bool) -> list:
     return out
 
 
-def _kernel(*refs, field: Field, m: int):
-    x_ref, tw_refs, o_ref = refs[0], refs[1:-1], refs[-1]
-    x = x_ref[:]                     # [W, m, Bt]
+def _stages_body(x, tw_refs, field: Field, m: int):
+    """All log2(m) DIT butterfly stages on a VMEM tile [W, m, Bt]."""
     W, _, Bt = x.shape
     log_m = m.bit_length() - 1
     s = 1
@@ -73,7 +72,27 @@ def _kernel(*refs, field: Field, m: int):
         hi = limbs.sub_mod(a, bt, field)
         x = jnp.stack([lo, hi], axis=2).reshape(W, m, Bt)
         s <<= 1
-    o_ref[:] = x
+    return x
+
+
+def _kernel(*refs, field: Field, m: int):
+    x_ref, tw_refs, o_ref = refs[0], refs[1:-1], refs[-1]
+    o_ref[:] = _stages_body(x_ref[:], tw_refs, field, m)
+
+
+def _kernel_fused(*refs, field: Field, m: int, has_tw: bool,
+                  transpose_out: bool):
+    """Stages + optional decomposition twiddle + optional transposed store
+    — one fused four-step level on the VPU path (the analog of
+    kernels/mxu_level.py for butterfly-ladder base transforms)."""
+    if has_tw:
+        x_ref, tw_refs, t_ref, o_ref = refs[0], refs[1:-2], refs[-2], refs[-1]
+    else:
+        x_ref, tw_refs, t_ref, o_ref = refs[0], refs[1:-1], None, refs[-1]
+    y = _stages_body(x_ref[:], tw_refs, field, m)
+    if t_ref is not None:
+        y = limbs.mont_mul(y, t_ref[:], field)
+    o_ref[:] = jnp.swapaxes(y, 1, 2) if transpose_out else y
 
 
 @functools.lru_cache(maxsize=None)
@@ -105,6 +124,64 @@ def _build(field_name: str, m: int, Bt: int, interpret: bool):
         )(x, *stage_tws)
 
     return call
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
+                 transpose_out: bool, interpret: bool):
+    field = get_field(field_name)
+    W = field.n_words
+    log_m = m.bit_length() - 1
+    kern = functools.partial(_kernel_fused, field=field, m=m, has_tw=has_tw,
+                             transpose_out=transpose_out)
+    in_specs = [pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec((W, m // 2, 1), lambda j: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+                 for _ in range(log_m)]
+    if has_tw:
+        in_specs.append(pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                                     memory_space=pltpu.VMEM))
+    if transpose_out:
+        out_spec = pl.BlockSpec((W, Bt, m), lambda j: (0, j, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (W, B, m)
+    else:
+        out_spec = pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = (W, m, B)
+
+    def call(x, stage_tws, T3=None):
+        args = (x, *stage_tws) + ((T3,) if has_tw else ())
+        return pl.pallas_call(
+            kern,
+            grid=(B // Bt,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
+            interpret=interpret,
+        )(*args)
+
+    return call
+
+
+def fused_stage_level(x, field: Field, inverse: bool, T3=None,
+                      transpose_out: bool = True,
+                      batch_tile: int | None = None):
+    """One fused four-step level on uint32[W, m, B] with the butterfly
+    ladder as base: bit-reverse (XLA pass) + all stages in VMEM + optional
+    full-resolution twiddle T3 [W, m, B] + optional transposed store."""
+    W, m, B = x.shape
+    if m == 1:
+        return jnp.swapaxes(x, 1, 2) if transpose_out else x
+    Bt = batch_tile or min(DEFAULT_BATCH_TILE, B)
+    assert B % Bt == 0
+    interpret = jax.default_backend() != "tpu"
+    stage_tws = [jnp.asarray(t) for t in _stage_twiddles(field, m, inverse)]
+    x = bit_reverse_axis1(x)
+    call = _build_fused(field.name, m, B, Bt, T3 is not None, transpose_out,
+                        interpret)
+    return call(x, stage_tws, T3) if T3 is not None else call(x, stage_tws)
 
 
 def ntt_along_axis_pallas(x, field: Field, inverse: bool = False,

@@ -106,6 +106,10 @@ def _base_pallas(x, field: Field, inverse: bool):
 
 PALLAS_BASE_MAX = 512
 
+#: fused flat-peel level size: the whole [W, m, Bt] tile plus mont_mul
+#: temporaries must fit the 16MB scoped VMEM budget
+FUSED_M = 256
+
 
 def ntt_fourstep_pallas(x, field: Field, inverse: bool = False, tws=None):
     """Four-step with the VMEM-fused Pallas kernel as the base transform
@@ -115,3 +119,33 @@ def ntt_fourstep_pallas(x, field: Field, inverse: bool = False, tws=None):
         return ntt_along_axis(x, field, inverse=inverse)
     return ntt_axis_fourstep(x, field, inverse, _base_pallas,
                              base_max=PALLAS_BASE_MAX, tws=tws)
+
+
+def ntt_fourstep_pallas_fused(x, field: Field, inverse: bool = False,
+                              tws=None):
+    """Fully-fused VPU flagship: ONE Pallas kernel per four-step level
+    (all butterfly stages + decomposition twiddle + transposed store in
+    VMEM), one HBM pass per level plus the bit-reversal gathers. ``tws``
+    must be expanded twiddles built with base=FUSED_M (see
+    mxu.expanded_twiddles); flat-peel loop as in mxu.ntt_mxu_fused."""
+    from ..kernels.vmem_ntt import fused_stage_level
+    W, n = x.shape
+    if n <= 2:
+        return ntt_along_axis(x, field, inverse=inverse)
+    remaining = n
+    m0 = min(FUSED_M, n)
+    cur = x.reshape(W, m0, n // m0)
+    levels = 0
+    while remaining > FUSED_M:
+        T3 = next(tws)                               # [W, FUSED_M, n/FUSED_M]
+        cur = fused_stage_level(cur, field, inverse, T3, transpose_out=True)
+        remaining //= FUSED_M
+        levels += 1
+        m_next = min(FUSED_M, remaining)
+        cur = cur.reshape(W, m_next, n // m_next)
+    y = fused_stage_level(cur, field, inverse, None, transpose_out=False)
+    if levels > 1:
+        # suffix digits come out in reverse peel order (see mxu.ntt_mxu_fused)
+        y = y.reshape((W, remaining) + (FUSED_M,) * levels)
+        y = y.transpose((0, 1) + tuple(range(levels + 1, 1, -1)))
+    return y.reshape(W, n)

@@ -32,7 +32,11 @@ from .. import digits, limbs
 from ..fields import Field
 from .core import power_matrix
 
-BASE_LOG = 6  # radix-64 base case
+# Radix-32 base case: the conv matrix [(2D-1)*m, D*m] must fit VMEM next to
+# the Z tile (v5e scoped VMEM = 16MB; m=64 needs an 11MB matrix and OOMs),
+# and total MXU MACs scale with sum of per-level m — 32 roughly halves them
+# vs 64 at the cost of one extra level.
+BASE_LOG = 5
 BASE = 1 << BASE_LOG
 
 _matrix_cache: dict = {}
@@ -63,12 +67,12 @@ def _zmax_bits(field: Field, m: int) -> int:
     return bound.bit_length()
 
 
-def _base_ntt(x, field: Field, inverse: bool):
+def _base_ntt(x, field: Field, inverse: bool, mats=None):
     """m <= 64 point NTT along axis 1 as one MXU matmul."""
     m = x.shape[1]
     if m == 1:
         return x
-    A = _base_matrix(field, m, inverse)
+    A = mats[m] if mats is not None else _base_matrix(field, m, inverse)
     return digits.apply_matrix(A, x, field, m, _zmax_bits(field, m))
 
 
@@ -80,26 +84,126 @@ def twiddle_requests(m: int) -> list:
     return [(m, BASE, m // BASE)] + twiddle_requests(m // BASE)
 
 
-def ntt_axis_mxu(x, field: Field, inverse: bool = False, tws=None):
+def base_sizes(n: int) -> set:
+    """Distinct base-transform sizes the peel-64 recursion hits."""
+    m = n
+    while m > BASE:
+        m //= BASE
+    return {BASE, m} if n > BASE else {n}
+
+
+def base_mats(field: Field, n: int, inverse: bool) -> dict:
+    """{m: device int8 conv matrix} for every base size — built host-side
+    and passed into jit as arguments (an 11MB matrix embedded as an MLIR
+    constant OOMs the TPU compile helper)."""
+    return {m: _base_matrix(field, m, inverse)
+            for m in base_sizes(n) if m > 1}
+
+
+def _base_ntt_pallas(x, field: Field, inverse: bool, mats=None):
+    """Fused-kernel base: digit extract + MXU matmul + reduction in VMEM
+    (kernels/mxu_ntt.py), batch flattened to one axis."""
+    from ..kernels.mxu_ntt import base_ntt_mxu_pallas
+    W, m = x.shape[0], x.shape[1]
+    rest = x.shape[2:]
+    if m == 1:
+        return x
+    A = mats[m] if mats is not None else None
+    xf = x.reshape(W, m, -1) if rest else x.reshape(W, m, 1)
+    y = base_ntt_mxu_pallas(xf, field, inverse, A=A)
+    return y.reshape((W, m) + rest)
+
+
+def ntt_axis_mxu(x, field: Field, inverse: bool = False, tws=None,
+                 base_fn=None, mats=None):
     """Full natural-order NTT along axis 1 of uint32[W, m, *batch]
     (Montgomery form in/out, no 1/n scaling) — MXU base transforms."""
+    base = base_fn or _base_ntt
     W, m = x.shape[0], x.shape[1]
     rest = x.shape[2:]
     if m <= BASE:
-        return _base_ntt(x, field, inverse)
+        return base(x, field, inverse, mats)
     n1, n2 = BASE, m // BASE
     omega = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
 
     A = x.reshape((W, n1, n2) + rest)
-    B = _base_ntt(A, field, inverse)                     # columns over i1
+    B = base(A, field, inverse, mats)                    # columns over i1
     T = next(tws) if tws is not None else power_matrix(
         field, omega, n1, n2)                            # ω_m^{k1·i2}
     C = limbs.mont_mul(B, T.reshape(T.shape + (1,) * len(rest)), field)
     Ct = jnp.moveaxis(C, 2, 1)                           # [W, i2, k1, *rest]
-    D = ntt_axis_mxu(Ct, field, inverse, tws)            # rows over i2
+    D = ntt_axis_mxu(Ct, field, inverse, tws, base_fn, mats)  # rows over i2
     return D.reshape((W, m) + rest)                      # X[k2*n1 + k1]
 
 
-def ntt_mxu(x, field: Field, inverse: bool = False, tws=None):
+def ntt_mxu(x, field: Field, inverse: bool = False, tws=None, mats=None):
     """x: uint32[W, n] Montgomery form — flagship MXU transform."""
-    return ntt_axis_mxu(x, field, inverse, tws=tws)
+    return ntt_axis_mxu(x, field, inverse, tws=tws, mats=mats)
+
+
+def ntt_mxu_pallas(x, field: Field, inverse: bool = False, tws=None,
+                   mats=None):
+    """MXU transform with the fused Pallas base kernel (no HBM round trip
+    for the digit-product planes)."""
+    return ntt_axis_mxu(x, field, inverse, tws=tws, base_fn=_base_ntt_pallas,
+                        mats=mats)
+
+
+def expanded_twiddles(field: Field, n: int, inverse: bool,
+                      base: int = BASE) -> list:
+    """Full-resolution per-level twiddles for the fully-fused flat-peel
+    drivers: level l's [W, base, I2_l] table expanded across the already-
+    processed suffix S_l so each level's twiddle is exactly batch-shaped
+    [W, base, n/base]. (Optionally permuted by the caller for brev-order
+    outputs.)"""
+    from .core import host_power_matrix
+    out = []
+    S = 1
+    remaining = n
+    W = field.n_words
+    while remaining > base:
+        I2 = remaining // base
+        w = (field.inv_root_of_unity(remaining) if inverse
+             else field.root_of_unity(remaining))
+        T = host_power_matrix(field, w, base, I2)      # [W, base, I2]
+        Te = np.broadcast_to(T[:, :, :, None], T.shape + (S,))
+        out.append(jnp.asarray(
+            np.ascontiguousarray(Te).reshape(W, base, I2 * S)))
+        remaining //= base
+        S *= base
+    return out
+
+
+def ntt_mxu_fused(x, field: Field, inverse: bool = False, tws=None,
+                  mats=None):
+    """Fully-fused MXU transform: ONE Pallas kernel per level (digit
+    extract + MXU matmul + Montgomery reduce + twiddle + transposed store),
+    one HBM pass per level. ``tws`` must be the iterator of
+    :func:`expanded_twiddles`; ``mats`` the :func:`base_mats` dict.
+
+    The flat level loop is the iterative form of :func:`ntt_axis_mxu`:
+    carving the next 64-point transform axis off the front of the flattened
+    remainder is a pure reshape after the kernel's transposed store.
+    """
+    from ..kernels.mxu_level import fused_level
+    W, n = x.shape
+    remaining = n
+    m0 = min(BASE, n)
+    cur = x.reshape(W, m0, n // m0)
+    levels = 0
+    while remaining > BASE:
+        T3 = next(tws)                                   # [W, BASE, n/BASE]
+        cur = fused_level(cur, field, mats[BASE], T3, transpose_out=True)
+        remaining //= BASE
+        levels += 1
+        m_next = min(BASE, remaining)
+        cur = cur.reshape(W, m_next, n // m_next)
+    y = fused_level(cur, field, mats[remaining], None, transpose_out=False)
+    # The per-level transposed stores append each level's output digit
+    # AFTER the older suffix, yielding flat order (k_L, k_1, ..., k_{L-1});
+    # the four-step convention is (k_L, k_{L-1}, ..., k_1) — one final
+    # suffix-reversing relayout restores it.
+    if levels > 1:
+        y = y.reshape((W, remaining) + (BASE,) * levels)
+        y = y.transpose((0, 1) + tuple(range(levels + 1, 1, -1)))
+    return y.reshape(W, n)

@@ -81,6 +81,26 @@ def test_mxu_goldilocks():
     run_mxu(nt.GOLDILOCKS, 64)
 
 
+def test_mxu_pallas_fused_kernel():
+    """The fused VMEM kernel (kernels/mxu_ntt.py) must be bit-identical to
+    the XLA mxu path (interpret mode on CPU)."""
+    f, n = nt.SMALL, 512
+    x = oracle.ramp(n, f)
+    X = nt.from_ints(x, f)
+    golden = oracle.ntt_golden(x, f)
+    assert nt.to_ints(nt.ntt(X, f, algorithm="mxu_pallas"), f) == golden
+    rt = nt.to_ints(nt.intt(nt.from_ints(golden, f), f,
+                            algorithm="mxu_pallas"), f)
+    assert rt == x
+
+
+def test_mxu_pallas_bn254():
+    f, n = nt.BN254_FR, 64
+    x = oracle.ramp(n, f)
+    got = nt.to_ints(nt.ntt(nt.from_ints(x, f), f, algorithm="mxu_pallas"), f)
+    assert got == oracle.ntt_golden(x, f)
+
+
 def test_mxu_coset_lde():
     f, n = nt.SMALL, 64
     x = oracle.ramp(n, f)

@@ -31,17 +31,30 @@ def _sync1(y):
     np.asarray(jax.jit(lambda v: v.ravel()[:1])(y))
 
 
-def _time(fn, x, reps, chain):
-    looped = jax.jit(lambda v: jax.lax.fori_loop(
-        0, chain, lambda i, z: fn(z), v))
-    y = looped(x)
+_floor = [0.0]
+
+
+def _calibrate(x):
+    tiny = jax.jit(lambda v: v + np.uint32(1))
+    _sync1(tiny(x))
+    best = 1e9
+    for _ in range(5):
+        t0 = time.time()
+        _sync1(tiny(x))
+        best = min(best, time.time() - t0)
+    _floor[0] = best
+
+
+def _time(run, aux, x, reps, chain):
+    looped = jax.jit(lambda v, a: jax.lax.fori_loop(
+        0, chain, lambda i, z: run(z, a), v))
+    y = looped(x, aux)
     _sync1(y)
     best = 1e9
     for _ in range(reps):
         t0 = time.time()
-        y = looped(x)
-        _sync1(y)
-        best = min(best, (time.time() - t0) / chain)
+        _sync1(looped(x, aux))
+        best = min(best, max(time.time() - t0 - _floor[0], 1e-9) / chain)
     return best
 
 
@@ -51,7 +64,7 @@ def main():
 
     import ntt_tpu as nt
     from ntt_tpu import hostlib, limbs, oracle
-    from ntt_tpu.api import _get_compiled
+    from ntt_tpu.api import get_runner
 
     backend = jax.devices()[0].device_kind
     print(f"# bench_suite backend={backend}", file=sys.stderr)
@@ -88,19 +101,21 @@ def main():
         results.append(rec)
         print(json.dumps(rec))
 
+    algo = os.environ.get("SUITE_ALGO", "fourstep")
+
     # ---- config 1: 2^12 BN254 forward+inverse, bit-exact -------------------
     f = nt.BN254_FR
     log_n = 10 if quick else 12
     n = 1 << log_n
-    algo = os.environ.get("SUITE_ALGO", "fourstep")
     x = ramp_mont(f, n)
-    fwd = _get_compiled(f, n, False, algo, True, None)
-    inv = _get_compiled(f, n, True, algo, True, None)
-    best = _time(lambda v: inv(fwd(v)), x, reps, 4)
-    y = fwd(x)
+    _calibrate(x)
+    rf, af = get_runner(f, n, False, algo, True, None)
+    ri, ai = get_runner(f, n, True, algo, True, None)
+    best = _time(lambda v, a: ri(rf(v, a[0]), a[1]), (af, ai), x, reps, 8)
+    y = jax.jit(rf)(x, af)
     ref = oracle.ntt_golden(oracle.ramp(n, f), f)
     ok = check_subsample(f, n, y, lambda idx: [ref[i] for i in idx])
-    rt = inv(y)
+    rt = jax.jit(ri)(y, ai)
     ok_rt = check_subsample(f, n, rt, lambda idx: [int(i) for i in idx])
     report(f"bn254_fwd_inv_2^{log_n}", n, 2 * log_n, best, algo, ok and ok_rt)
 
@@ -109,28 +124,29 @@ def main():
     log_n = 12 if quick else 18
     n = 1 << log_n
     x = ramp_mont(f, n)
-    fwd = _get_compiled(f, n, False, algo, True, None)
-    best = _time(fwd, x, reps, 4)
+    rf, af = get_runner(f, n, False, algo, True, None)
+    best = _time(rf, af, x, reps, 8)
     ok = True
     if hostlib.available():
         want = hostlib.ntt(oracle.ramp(n, f), f)
-        ok = check_subsample(f, n, fwd(x), lambda idx: [want[i] for i in idx])
+        ok = check_subsample(f, n, jax.jit(rf)(x, af),
+                             lambda idx: [want[i] for i in idx])
     report(f"bls12-381_mont_io_2^{log_n}", n, log_n, best, algo, ok)
 
     # ---- config 3: 2^22 four-step ------------------------------------------
     log_n = 14 if quick else 22
     n = 1 << log_n
     x = ramp_mont(f, n)
-    fwd = _get_compiled(f, n, False, algo, True, None)
-    best = _time(fwd, x, reps, 2)
+    rf, af = get_runner(f, n, False, algo, True, None)
+    best = _time(rf, af, x, reps, 4)
     report(f"bls12-381_fourstep_2^{log_n}", n, log_n, best, algo, True)
 
     # ---- config 4: 2^24 coset NTT ------------------------------------------
     log_n = 15 if quick else 24
     n = 1 << log_n
     x = ramp_mont(f, n)
-    fwd = _get_compiled(f, n, False, algo, True, f.generator)
-    best = _time(fwd, x, reps, 2)
+    rf, af = get_runner(f, n, False, algo, True, f.generator)
+    best = _time(rf, af, x, reps, 2)
     report(f"bls12-381_coset_2^{log_n}", n, log_n, best, algo, True)
 
     print(json.dumps({"suite": results}), file=sys.stderr)

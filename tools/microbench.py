@@ -115,11 +115,20 @@ def main():
     timeit("moveaxis relayout", lambda v: jnp.moveaxis(
         v.reshape(W, m, B), 2, 1).reshape(W, m, B), xt)
 
-    # 7. full transforms (via the api cache so twiddles are prebuilt args)
-    from ntt_tpu.api import _get_compiled
-    for algo in ("mxu", "fourstep", "pallas"):
-        fn = _get_compiled(field, n, False, algo, True, None)
-        timeit(f"ntt {algo} (full)", fn, x, chain=8)
+    # 7. full transforms (aux passed as args — no constant embedding)
+    from ntt_tpu.api import get_runner
+    for algo in ("mxu", "fourstep", "pallas", "mxu_pallas"):
+        run, aux = get_runner(field, n, False, algo, True, None)
+        looped = jax.jit(lambda v, a, run=run: jax.lax.fori_loop(
+            0, 8, lambda i, z: run(z, a), v))
+        y = looped(x, aux)
+        _sync(y)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            _sync(looped(x, aux))
+            best = min(best, (time.time() - t0 - _floor[0]) / 8)
+        print(f"{'ntt ' + algo + ' (full)':38s} {best*1e3:9.3f} ms")
 
     # 8. raw hardware rates (roofline calibration)
     k = 2048
