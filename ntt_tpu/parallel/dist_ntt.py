@@ -105,11 +105,28 @@ def _axis_fn(algorithm: str):
     raise ValueError(f"unknown local algorithm {algorithm!r}")
 
 
-def _local_step(xb, idx_base, field: Field, n1: int, n2: int, n2_loc: int,
-                omega: int, inverse: bool, n_inv: int | None,
+def _device_scalar(table, field: Field):
+    """Select this device's entry from a static [W, D] Montgomery table ->
+    [W, 1, 1] broadcastable scalar."""
+    idx = jax.lax.axis_index(AXIS)
+    return jax.lax.dynamic_slice_in_dim(table, idx, 1, axis=1)[:, :, None]
+
+
+def _local_step(xb, idx_base, coset, field: Field, n1: int, n2: int,
+                n2_loc: int, omega: int, inverse: bool, n_inv: int | None,
                 algorithm: str = "jnp"):
-    """Per-device body (inside shard_map). xb: uint32[W, n1, n2_loc]."""
+    """Per-device body (inside shard_map). xb: uint32[W, n1, n2_loc].
+
+    ``coset``: None, or (local_table [W, n1, n2_loc], device_base [W, D]) —
+    the coset power c^{index} factored as a replicated local table times a
+    device-dependent scalar (forward: index = i1*n2 + off + j over inputs;
+    inverse: index over outputs with c^{-1}). Applied pre-transform on the
+    forward pass and post-transform on the inverse pass (BASELINE.json
+    config 4 at pod scale)."""
     ntt_axis = _axis_fn(algorithm)
+    if coset is not None and not inverse:
+        xb = limbs.mont_mul(xb, coset[0], field)
+        xb = limbs.mont_mul(xb, _device_scalar(coset[1], field), field)
     # 1. column NTTs over i1 (local)
     B = ntt_axis(xb, field, inverse)
 
@@ -145,45 +162,76 @@ def _local_step(xb, idx_base, field: Field, n1: int, n2: int, n2_loc: int,
     if n_inv is not None:
         c = limbs.const_planes(field.to_mont_int(n_inv), field, 2)
         D = limbs.mont_mul(D, c, field)
+    if coset is not None and inverse:
+        D = limbs.mont_mul(D, coset[0], field)
+        D = limbs.mont_mul(D, _device_scalar(coset[1], field), field)
     return D
 
 
 def make_dist_ntt(field: Field, n: int, mesh: Mesh, inverse: bool = False,
-                  mont_io: bool = True, algorithm: str = "jnp"):
+                  mont_io: bool = True, algorithm: str = "jnp",
+                  coset_shift: int | None = None):
     """Build a jitted distributed NTT for (field, n, mesh).
 
     Takes uint32[W, n1, n2] sharded P(None, None, 'ntt') (see
     :func:`shard_for_ntt`), returns uint32[W, n2, n1] sharded
     P(None, None, 'ntt') holding X[k2*n1 + k1] at [:, k2, k1].
     Montgomery-form I/O by default; ``mont_io=False`` adds conversion
-    passes.
+    passes. ``coset_shift`` evaluates on the coset shift·<ω_n> (the inverse
+    transform interpolates from that coset, including the 1/n scaling).
     """
     from ..fields import inv_mod
+    from ..transforms.core import host_powers_fast
 
     n1, n2 = split_log(n)
     D = _axis_size(mesh)
     assert n2 % D == 0, f"n2={n2} must be divisible by '{AXIS}' axis size {D}"
     n2_loc = n2 // D
+    n1_loc = n1 // D
     omega = field.inv_root_of_unity(n) if inverse else field.root_of_unity(n)
     # static per-device base table: ω^{d·n2_loc}, d < D
     idx_base = jnp.asarray(host_powers(field, pow(omega, n2_loc, field.p), D))
     n_inv = inv_mod(n, field.p) if inverse else None
+
+    coset = None
+    if coset_shift is not None:
+        if not inverse:
+            # pre-multiply inputs by c^{i1*n2 + off + j}: local table
+            # c^{i1*n2 + j} (identical on every device) x device scalar
+            # c^{d*n2_loc}
+            c = coset_shift % field.p
+            pw = host_powers_fast(field, c, (n1 - 1) * n2 + n2_loc)
+            idxm = (np.arange(n1)[:, None] * n2 + np.arange(n2_loc)[None, :])
+            local = jnp.asarray(np.ascontiguousarray(pw[:, idxm]))
+            dev = jnp.asarray(host_powers_fast(
+                field, pow(c, n2_loc, field.p), D))
+        else:
+            # post-multiply outputs [W, k2, k1_loc] by ci^{k2*n1 + off + k1}
+            ci = inv_mod(coset_shift, field.p)
+            pw = host_powers_fast(field, ci, (n2 - 1) * n1 + n1_loc)
+            idxm = (np.arange(n2)[:, None] * n1 + np.arange(n1_loc)[None, :])
+            local = jnp.asarray(np.ascontiguousarray(pw[:, idxm]))
+            dev = jnp.asarray(host_powers_fast(
+                field, pow(ci, n1_loc, field.p), D))
+        coset = (local, dev)
 
     body = functools.partial(
         _local_step, field=field, n1=n1, n2=n2, n2_loc=n2_loc,
         omega=omega, inverse=inverse, n_inv=n_inv, algorithm=algorithm)
 
     spec = P(None, None, AXIS)
+    coset_specs = (P(None, None, None), P(None, None)) if coset else ()
     mapped = jax.shard_map(
-        lambda xb, tb: body(xb, tb),
-        mesh=mesh, in_specs=(spec, P(None, None)), out_specs=spec,
+        lambda xb, tb, *cs: body(xb, tb, cs if cs else None),
+        mesh=mesh, in_specs=(spec, P(None, None)) + coset_specs,
+        out_specs=spec,
         check_vma=False,
     )
 
     def run(x):
         if not mont_io:
             x = limbs.to_mont(x, field)
-        y = mapped(x, idx_base)
+        y = mapped(x, idx_base, *(coset if coset else ()))
         if not mont_io:
             y = limbs.from_mont(y, field)
         return y

@@ -129,6 +129,7 @@ def ntt_fourstep_pallas_fused(x, field: Field, inverse: bool = False,
     must be expanded twiddles built with base=FUSED_M (see
     mxu.expanded_twiddles); flat-peel loop as in mxu.ntt_mxu_fused."""
     from ..kernels.vmem_ntt import fused_stage_level
+    assert x.ndim == 2, "fused flat-peel drivers take unbatched uint32[W, n]"
     W, n = x.shape
     if n <= 2:
         return ntt_along_axis(x, field, inverse=inverse)

@@ -186,6 +186,7 @@ def ntt_mxu_fused(x, field: Field, inverse: bool = False, tws=None,
     remainder is a pure reshape after the kernel's transposed store.
     """
     from ..kernels.mxu_level import fused_level
+    assert x.ndim == 2, "fused flat-peel drivers take unbatched uint32[W, n]"
     W, n = x.shape
     remaining = n
     m0 = min(BASE, n)

@@ -79,6 +79,30 @@ def test_broadcasting(field):
 
 
 @pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
+def test_mont_reduce_wide(field):
+    """mont_reduce_wide(value) == value * 2^(-16*iters) mod p for wide
+    values (the CGBN mont_reduce_wide contract, impl_cuda.cu:1013-1024)."""
+    from ntt_tpu.fields import HALF_BITS, inv_mod
+
+    f = field
+    rng = random.Random(3)
+    L = f.n_halves
+    iters = L + 1
+    # value < 2^(16*iters) * p
+    vals = [rng.randrange((1 << (16 * iters)) * f.p) for _ in range(4)]
+    n_h = (max(v.bit_length() for v in vals) + HALF_BITS - 1) // HALF_BITS
+    halves = [
+        np.asarray([(v >> (16 * j)) & 0xFFFF for v in vals], dtype=np.uint32)
+        for j in range(n_h)
+    ]
+    import jax.numpy as jnp
+    halves = [jnp.asarray(h) for h in halves]
+    got = limbs.to_ints(limbs.mont_reduce_wide(halves, f, iters), f)
+    rinv = inv_mod(1 << (16 * iters), f.p)
+    assert got == [v * rinv % f.p for v in vals]
+
+
+@pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
 def test_eq_and_canonical(field):
     xs = _rand(field, 32, 9)
     X = limbs.from_ints(xs, field)

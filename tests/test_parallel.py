@@ -67,6 +67,23 @@ def test_dist_local_algorithms(algorithm):
     assert got == oracle.ntt_golden(x, f)
 
 
+def test_dist_coset_roundtrip():
+    """Distributed coset NTT (BASELINE config 4 at pod scale): forward on
+    the coset matches the golden coset model; inverse interpolates back."""
+    f, n = nt.SMALL, 256
+    mesh = _mesh(4)
+    shift = f.generator
+    x = oracle.ramp(n, f)
+    Xs = shard_for_ntt(limbs.to_mont(nt.from_ints(x, f), f), f, mesh)
+    y = make_dist_ntt(f, n, mesh, coset_shift=shift)(Xs)
+    got = nt.to_ints(limbs.from_mont(unshard(y), f), f)
+    assert got == oracle.coset_ntt_golden(x, f, shift)
+    # inverse: interpolate back from the coset evaluations
+    Ys = shard_for_ntt(limbs.to_mont(nt.from_ints(got, f), f), f, mesh)
+    back = make_dist_ntt(f, n, mesh, inverse=True, coset_shift=shift)(Ys)
+    assert nt.to_ints(limbs.from_mont(unshard(back), f), f) == x
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
