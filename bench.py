@@ -32,18 +32,17 @@ def _roofline_butterflies_per_sec(field) -> float:
     reduction m*p) however the digits are planned.
 
     The multiply rate is the scarce resource, and the fastest multiply
-    engine on the chip is the MXU: with 8-bit digit planes (the widest
-    digits whose products accumulate exactly in f32 across a 128-deep
-    contraction), a modular product needs >= 2*(mont_bits/8)^2 digit MACs
-    (a*b plus the Montgomery reduction m*p). The MAC rate defaults to the
-    bf16 matmul rate measured on this benching tile (2.1e12 MAC/s; note:
-    this tile delivers ~2% of public v5e spec across all units, so the
-    roofline is calibrated to the silicon actually underneath; override
-    with BENCH_MAC_RATE).
+    engine on the chip is the MXU: with 8-bit digit planes, a modular
+    product needs >= 2*(mont_bits/8)^2 digit MACs (a*b plus the Montgomery
+    reduction m*p). The MAC rate defaults to the int8 matmul rate measured
+    on this benching tile with tools/microbench.py (6.0e12 MAC/s — ~3% of
+    public v5e spec; the tile is heavily throttled, so the roofline is
+    calibrated to the silicon actually underneath; override with
+    BENCH_MAC_RATE).
     """
     d8 = field.mont_bits // 8
     macs_per_butterfly = 2 * d8 * d8 + 4 * d8
-    mac_rate = float(os.environ.get("BENCH_MAC_RATE", "2.1e12"))
+    mac_rate = float(os.environ.get("BENCH_MAC_RATE", "6.0e12"))
     return mac_rate / macs_per_butterfly
 
 

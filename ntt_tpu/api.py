@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from . import limbs
 from .fields import Field, get_field, inv_mod
+from .transforms import core as _core
 from .transforms import fourstep as _fourstep
 from .transforms import mxu as _mxu
 from .transforms.core import host_power_matrix, host_powers_fast
@@ -61,6 +62,8 @@ def _prep_mxu_fused(field, n, inverse):
 #: composition (e.g. the benchmark chain loop).
 ALGORITHMS = {
     "naive": (lambda x, field, inverse, aux: ntt_naive(
+        x, field, inverse=inverse), lambda field, n, inverse: {}),
+    "stockham": (lambda x, field, inverse, aux: _core.ntt_along_axis_stockham(
         x, field, inverse=inverse), lambda field, n, inverse: {}),
     "fourstep": (lambda x, field, inverse, aux: ntt_fourstep(
         x, field, inverse, iter(aux["tws"])),

@@ -66,10 +66,11 @@ def _stages_body(x, tw_refs, field: Field, m: int):
         xr = x.reshape(W, g, 2, s, Bt)
         a = xr[:, :, 0]
         b = xr[:, :, 1]
-        tw = tw_refs[i][:].reshape(W, g, s, 1)   # per-butterfly twiddles
-        bt = limbs.mont_mul(b, tw, field)
-        lo = limbs.add_mod(a, bt, field)
-        hi = limbs.sub_mod(a, bt, field)
+        if i > 0:  # stage 0 twiddles are identically 1
+            tw = tw_refs[i][:].reshape(W, g, s, 1)  # per-butterfly twiddles
+            b = limbs.mont_mul(b, tw, field)
+        lo = limbs.add_mod(a, b, field)
+        hi = limbs.sub_mod(a, b, field)
         x = jnp.stack([lo, hi], axis=2).reshape(W, m, Bt)
         s <<= 1
     return x

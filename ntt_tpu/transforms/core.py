@@ -88,7 +88,9 @@ def _bcast_tw(tw, x_ndim: int, axis_extra: int):
 def dit_stage(x, s: int, tw, field: Field):
     """One radix-2 DIT butterfly stage at stride ``s`` along axis 1.
 
-    x: uint32[W, m, *batch]; tw: uint32[W, s] (Montgomery form, ω_{2s}^j).
+    x: uint32[W, m, *batch]; tw: uint32[W, s] (Montgomery form, ω_{2s}^j),
+    or None for the trivial first stage (all twiddles = 1 — skipping the
+    Montgomery product there saves ~1/log2(m) of the ladder's multiplies).
     Pairs (start+j, start+j+s) within contiguous groups of 2s — identical
     pairing to the reference golden model (GZKP-NTT.cu:39-47).
     """
@@ -98,10 +100,11 @@ def dit_stage(x, s: int, tw, field: Field):
     xr = x.reshape((W, g, 2, s) + rest)
     a = xr[:, :, 0]
     b = xr[:, :, 1]
-    twb = _bcast_tw(tw, a.ndim, 1)
-    bt = limbs.mont_mul(b, twb, field)
-    lo = limbs.add_mod(a, bt, field)
-    hi = limbs.sub_mod(a, bt, field)
+    if tw is not None:
+        twb = _bcast_tw(tw, a.ndim, 1)
+        b = limbs.mont_mul(b, twb, field)
+    lo = limbs.add_mod(a, b, field)
+    hi = limbs.sub_mod(a, b, field)
     return jnp.stack([lo, hi], axis=2).reshape(x.shape)
 
 
@@ -111,6 +114,38 @@ def bit_reverse_axis1(x):
     m = x.shape[1]
     rev = np.asarray(bit_reverse_table(m), dtype=np.int32)
     return jnp.take(x, rev, axis=1)
+
+
+def ntt_along_axis_stockham(x, field: Field, inverse: bool = False):
+    """Self-sorting NTT along axis 1 (natural order in/out, Montgomery
+    form, no 1/n scaling) with NO bit-reversal permutation anywhere:
+    radix-2 four-step applied recursively (n1 = 2), where each level's
+    "transpose" is a pure reshape/stack. This is the Stockham autosort
+    dataflow — the role the reference's out-of-place ``No_Swap`` variant
+    plays (scattered ping-pong writes that eliminate the rearrange pass,
+    /root/reference/src/GZKP-NTT.cu:237-296), expressed as reshapes XLA can
+    lower without gathers.
+
+    Identity per level (n = 2·h, i = i1·h + i2, ω the n-th root):
+        X[k2·2 + k1] = NTT_h over i2 of [ ω^{k1·i2} · (x[i2] ± x[h+i2]) ]
+    """
+    W, m = x.shape[0], x.shape[1]
+    rest = x.shape[2:]
+    if m == 1:
+        return x
+    h = m // 2
+    xf = x.reshape(W, 2, h, -1)             # batch flattened (rank stays 4)
+    a = xf[:, 0]
+    b = xf[:, 1]
+    lo = limbs.add_mod(a, b, field)
+    hi = limbs.sub_mod(a, b, field)
+    if m > 2:  # the m=2 level's twiddle is identically 1
+        tw = twiddle_master(field, m, inverse)  # [W, m/2] = ω_m^{i2}
+        hi = limbs.mont_mul(hi, jnp.asarray(tw)[:, :, None], field)
+    y = jnp.stack([lo, hi], axis=2)         # [W, h(i2), 2(k1), B]
+    y = y.reshape(W, h, -1)                 # fold k1 into the batch
+    z = ntt_along_axis_stockham(y, field, inverse)   # over i2 -> k2
+    return z.reshape((W, m) + rest)         # flat (k2, k1, batch) = X[k2*2+k1]
 
 
 def ntt_along_axis(x, field: Field, inverse: bool = False):
@@ -124,7 +159,7 @@ def ntt_along_axis(x, field: Field, inverse: bool = False):
     s = 1
     while s < m:
         step = (m // 2) // s
-        tw = jnp.asarray(master[:, ::step][:, :s])
+        tw = None if s == 1 else jnp.asarray(master[:, ::step][:, :s])
         x = dit_stage(x, s, tw, field)
         s <<= 1
     return x

@@ -104,7 +104,9 @@ def _base_pallas(x, field: Field, inverse: bool):
     return y.reshape((W, m) + rest)
 
 
-PALLAS_BASE_MAX = 512
+#: largest sub-NTT the VMEM stage kernel handles: the unrolled kernel for
+#: m=512 x 16-half mont_muls OOMs the Mosaic compile helper; 256 compiles
+PALLAS_BASE_MAX = 256
 
 #: fused flat-peel level size: the whole [W, m, Bt] tile plus mont_mul
 #: temporaries must fit the 16MB scoped VMEM budget
