@@ -26,7 +26,8 @@ from .transforms import fourstep as _fourstep
 from .transforms import mxu as _mxu
 from .transforms.core import host_power_matrix, host_powers_fast
 from .transforms.fourstep import (ntt_fourstep, ntt_fourstep_pallas,
-                                  ntt_fourstep_pallas_fused)
+                                  ntt_fourstep_pallas_fused,
+                                  ntt_fourstep_stockham)
 from .transforms.mxu import ntt_mxu, ntt_mxu_pallas
 from .transforms.naive import ntt_naive
 
@@ -66,6 +67,9 @@ ALGORITHMS = {
     "stockham": (lambda x, field, inverse, aux: _core.ntt_along_axis_stockham(
         x, field, inverse=inverse), lambda field, n, inverse: {}),
     "fourstep": (lambda x, field, inverse, aux: ntt_fourstep(
+        x, field, inverse, iter(aux["tws"])),
+        _prep_fourstep(_fourstep.BASE_MAX)),
+    "fourstep_st": (lambda x, field, inverse, aux: ntt_fourstep_stockham(
         x, field, inverse, iter(aux["tws"])),
         _prep_fourstep(_fourstep.BASE_MAX)),
     "pallas": (lambda x, field, inverse, aux: ntt_fourstep_pallas(
@@ -182,6 +186,33 @@ def coset_intt(x, field: Field | str, shift: int | None = None, **kw):
         field = get_field(field)
     shift = field.generator if shift is None else shift
     return ntt(x, field, inverse=True, coset_shift=shift, **kw)
+
+
+def polymul(a, b, field: Field | str, algorithm: str = "fourstep",
+            cyclic: bool = False):
+    """Polynomial product via NTT (the canonical ZKP workload).
+
+    ``a``, ``b``: coefficient vectors uint32[W, n] (same n). With
+    ``cyclic=True`` returns the length-n cyclic convolution; otherwise the
+    full product of degree < 2n-1, computed on the 2n-point domain
+    (zero-padded), returned as uint32[W, 2n].
+    """
+    if isinstance(field, str):
+        field = get_field(field)
+    W, n = a.shape[0], a.shape[1]
+    assert b.shape == a.shape
+    if not cyclic:
+        pad = jnp.zeros((W, n), dtype=jnp.uint32)
+        a = jnp.concatenate([a, pad], axis=1)
+        b = jnp.concatenate([b, pad], axis=1)
+    fa = ntt(a, field, algorithm=algorithm, mont_io=False)
+    fb = ntt(b, field, algorithm=algorithm, mont_io=False)
+    prod = jax.jit(
+        lambda u, v: limbs.from_mont(
+            limbs.mont_mul(limbs.to_mont(u, field),
+                           limbs.to_mont(v, field), field), field)
+    )(fa, fb)
+    return intt(prod, field, algorithm=algorithm)
 
 
 def lde(x, field: Field | str, blowup: int = 4, shift: int | None = None,

@@ -85,6 +85,23 @@ def _base_jnp(x, field: Field, inverse: bool):
     return ntt_along_axis(x, field, inverse=inverse)
 
 
+def _base_stockham(x, field: Field, inverse: bool):
+    from .core import ntt_along_axis_stockham
+    return ntt_along_axis_stockham(x, field, inverse=inverse)
+
+
+def ntt_fourstep_stockham(x, field: Field, inverse: bool = False, tws=None):
+    """Four-step with the Stockham self-sorting ladder as base transform —
+    the flagship candidate with ZERO gather/bit-reversal passes anywhere
+    (every data movement is a reshape or the level transpose)."""
+    n = x.shape[1]
+    n1, n2 = split_log(n)
+    if n2 == 1:
+        return _base_stockham(x, field, inverse)
+    return ntt_axis_fourstep(x, field, inverse, _base_stockham,
+                             base_max=BASE_MAX, tws=tws)
+
+
 def ntt_fourstep(x, field: Field, inverse: bool = False, tws=None):
     """x: uint32[W, n] Montgomery form, n a power of two >= 4."""
     n = x.shape[1]

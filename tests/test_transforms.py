@@ -16,6 +16,10 @@ import ntt_tpu as nt
 from ntt_tpu import oracle
 
 ALGOS = ["naive", "fourstep"]
+# ladder variants checked on the small field only (each (field, n, algo)
+# combination is a fresh unrolled-limb compile; big fields are covered for
+# these variants by quick single-size tests below)
+ALGOS_ALL = ALGOS + ["stockham", "fourstep_st"]
 
 
 def run_and_check(field, n, algo):
@@ -29,10 +33,14 @@ def run_and_check(field, n, algo):
     assert rt == x, f"{field.name} n={n} {algo} roundtrip"
 
 
-@pytest.mark.parametrize("algo", ALGOS)
+@pytest.mark.parametrize("algo", ALGOS_ALL)
 @pytest.mark.parametrize("log_n", [2, 3, 6, 9])
 def test_small_field(algo, log_n):
     run_and_check(nt.SMALL, 1 << log_n, algo)
+
+
+def test_stockham_bls():
+    run_and_check(nt.BLS12_381_FR, 16, "stockham")
 
 
 @pytest.mark.parametrize("algo", ALGOS)
