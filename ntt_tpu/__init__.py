@@ -11,7 +11,7 @@ scales to device meshes via one all-to-all (``ntt_tpu.parallel``).
 from .fields import (BLS12_381_FR, BN254_FR, FIELDS, GOLDILOCKS, SMALL,
                      Field, get_field)
 from .limbs import from_ints, to_ints, to_mont, from_mont
-from .api import coset_intt, coset_ntt, intt, lde, ntt
+from .api import coset_intt, coset_ntt, intt, lde, ntt, polymul
 
 __version__ = "0.1.0"
 
@@ -19,5 +19,5 @@ __all__ = [
     "Field", "get_field", "FIELDS",
     "SMALL", "BN254_FR", "BLS12_381_FR", "GOLDILOCKS",
     "from_ints", "to_ints", "to_mont", "from_mont",
-    "ntt", "intt", "coset_ntt", "coset_intt", "lde",
+    "ntt", "intt", "coset_ntt", "coset_intt", "lde", "polymul",
 ]

@@ -110,6 +110,26 @@ def test_batched_api():
             oracle.ntt_golden(cols[b], f)
 
 
+def test_polymul():
+    """Full polynomial product via NTT == schoolbook convolution mod p."""
+    f, n = nt.SMALL, 32
+    import random
+    rng = random.Random(7)
+    a = [rng.randrange(f.p) for _ in range(n)]
+    b = [rng.randrange(f.p) for _ in range(n)]
+    want = [0] * (2 * n)
+    for i in range(n):
+        for j in range(n):
+            want[i + j] = (want[i + j] + a[i] * b[j]) % f.p
+    got = nt.to_ints(nt.polymul(nt.from_ints(a, f), nt.from_ints(b, f), f), f)
+    assert got == want
+    # cyclic convolution
+    wantc = [(want[i] + want[i + n]) % f.p for i in range(n)]
+    gotc = nt.to_ints(nt.polymul(nt.from_ints(a, f), nt.from_ints(b, f), f,
+                                 cyclic=True), f)
+    assert gotc == wantc
+
+
 def test_linearity_spot_check():
     """NTT(a+b) == NTT(a)+NTT(b) — independent algebraic property."""
     f, n = nt.SMALL, 64
