@@ -31,11 +31,24 @@ from .transforms.fourstep import (ntt_fourstep, ntt_fourstep_pallas,
 from .transforms.mxu import ntt_mxu, ntt_mxu_pallas
 from .transforms.naive import ntt_naive
 
+#: tables up to this many elements are built host-side (exact, cheap);
+#: bigger ones are generated ON DEVICE once by the log-doubling generator —
+#: shipping a 0.5GB host table through the remote-device tunnel is far
+#: slower than one small generation graph
+_HOST_TW_LIMIT = 1 << 18
+
+
 def _tw_tables(field, n, inverse, requests):
+    from .transforms.core import power_matrix
     out = []
     for (m, n1, n2) in requests:
         w = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
-        out.append(jnp.asarray(host_power_matrix(field, w, n1, n2)))
+        if n1 * n2 <= _HOST_TW_LIMIT:
+            out.append(jnp.asarray(host_power_matrix(field, w, n1, n2)))
+        else:
+            out.append(jax.jit(
+                lambda field=field, w=w, n1=n1, n2=n2: power_matrix(
+                    field, w, n1, n2))())
     return out
 
 
@@ -107,7 +120,13 @@ def get_runner(field: Field, n: int, inverse: bool, algorithm: str,
     aux = prepare(field, n, inverse)
     if coset_shift is not None:
         shift = coset_shift if not inverse else inv_mod(coset_shift, field.p)
-        aux["coset"] = jnp.asarray(host_powers_fast(field, shift, n))
+        if n <= _HOST_TW_LIMIT:
+            aux["coset"] = jnp.asarray(host_powers_fast(field, shift, n))
+        else:
+            from .transforms.core import geometric_outer, split_log
+            n1, n2 = split_log(n)
+            aux["coset"] = jax.jit(lambda: geometric_outer(
+                field, shift, n1, n2).reshape(field.n_words, n))()
 
     def run(x, aux):
         batch_dims = x.ndim - 2  # [W, n, *batch]
