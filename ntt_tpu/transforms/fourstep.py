@@ -126,8 +126,10 @@ def _base_pallas(x, field: Field, inverse: bool):
 PALLAS_BASE_MAX = 256
 
 #: fused flat-peel level size: the whole [W, m, Bt] tile plus mont_mul
-#: temporaries must fit the 16MB scoped VMEM budget
-FUSED_M = 256
+#: temporaries must fit the 16MB scoped VMEM budget, and the unrolled
+#: stages+twiddle+transpose kernel must stay within the Mosaic compile
+#: helper's memory (m=256 with 16-half fields OOMs it)
+FUSED_M = 128
 
 
 def ntt_fourstep_pallas(x, field: Field, inverse: bool = False, tws=None):
