@@ -91,8 +91,13 @@ def _axis_fn(algorithm: str):
     distributed four-step): jnp stage ladder, Pallas VMEM kernel, or the MXU
     digit-matmul path."""
     if algorithm == "jnp":
-        return lambda x, field, inverse: ntt_along_axis(
-            x, field, inverse=inverse)
+        # recurse above the ladder sweet spot (m=1024+ ladders fall off an
+        # XLA relayout cliff; see fourstep.BASE_MAX) — twiddles generated
+        # on device inside shard_map
+        from ..transforms.fourstep import (BASE_MAX, _base_jnp,
+                                           ntt_axis_fourstep)
+        return lambda x, field, inverse: ntt_axis_fourstep(
+            x, field, inverse, _base_jnp, BASE_MAX)
     if algorithm == "pallas":
         from ..transforms.fourstep import _base_pallas
         from ..transforms.fourstep import ntt_axis_fourstep

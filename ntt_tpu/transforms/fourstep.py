@@ -40,8 +40,18 @@ from .core import ntt_along_axis, power_matrix, split_log
 
 #: largest sub-transform handled directly by the base stage kernel; larger
 #: sizes recurse (mirrors the reference's MAX_LOG2_RADIX bound on how many
-#: stages fit one shared-memory tile, GZKP-NTT.cu:466)
-BASE_MAX = 1024
+#: stages fit one shared-memory tile, GZKP-NTT.cu:466). Measured on v5e:
+#: the m=1024 ladder over 16-half fields is ~13x slower per butterfly than
+#: m=512 (XLA falls off a relayout cliff on wide-sublane stage reshapes),
+#: so recursion PEELS n1 = BASE_MAX columns rather than splitting balanced
+#: — every ladder stays at the sweet spot.
+BASE_MAX = 512
+
+
+def _split(m: int, base_max: int):
+    """Peel split for m > base_max: n1 = base_max columns (handled by the
+    base kernel directly), rows recurse."""
+    return base_max, m // base_max
 
 
 def twiddle_requests(m: int, base_max: int = BASE_MAX) -> list:
@@ -50,7 +60,7 @@ def twiddle_requests(m: int, base_max: int = BASE_MAX) -> list:
     iterator as ``tws`` to keep data-sized twiddle generation out of jit)."""
     if m <= base_max:
         return []
-    n1, n2 = split_log(m)
+    n1, n2 = _split(m, base_max)
     return (twiddle_requests(n1, base_max) + [(m, n1, n2)]
             + twiddle_requests(n2, base_max))
 
@@ -68,7 +78,7 @@ def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
     rest = x.shape[2:]
     if m <= base_max:
         return base_fn(x, field, inverse)
-    n1, n2 = split_log(m)
+    n1, n2 = _split(m, base_max)
     omega = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
 
     A = x.reshape((W, n1, n2) + rest)
