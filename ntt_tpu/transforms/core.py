@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .. import limbs
@@ -163,6 +164,59 @@ def ntt_along_axis(x, field: Field, inverse: bool = False):
         x = dit_stage(x, s, tw, field)
         s <<= 1
     return x
+
+
+# ---------------------------------------------------------------------------
+# Chunked execution: keep per-op working sets VMEM-sized.
+#
+# Measured on the v5e benching tile: an op graph whose arrays fit on-chip
+# (~8MB) runs at full VPU rate; the identical graph at 4x the size runs
+# ~26x slower per element because every stage round-trips the (heavily
+# throttled, ~21GB/s) HBM. So any data-sized ladder or elementwise pass is
+# applied chunk-by-chunk over a batch axis with a fori_loop + dynamic
+# slices: each chunk's sub-graph stays VMEM-resident, and HBM sees one
+# read + one write per chunk instead of one per stage.
+# ---------------------------------------------------------------------------
+
+#: below this total size, never chunk — measured: an 8MB input (2^18 x 8
+#: words) runs the whole stage chain fully resident at 1.7ms, and chunking
+#: it is a large regression.
+CHUNK_SINGLE = int(8.6e6)
+#: when chunking, aim for chunks of this size (slightly above 4MiB so a
+#: 4MiB chunk isn't re-chunked by nested calls)
+CHUNK_BYTES = int(4.3e6)
+
+
+def n_chunks_for(n_bytes: int, cap: int) -> int:
+    if n_bytes <= CHUNK_SINGLE:
+        return 1
+    n = 1
+    while n_bytes // n > CHUNK_BYTES and n < cap:
+        n *= 2
+    return n
+
+
+def chunked_along_axis(fn, x, axis: int, also=None):
+    """Apply ``fn`` chunk-by-chunk along ``axis`` of x (power-of-two sized
+    axes). ``also``: optional second array sliced along the same axis and
+    passed as fn's second argument (e.g. a twiddle table). fn must be
+    shape-preserving."""
+    size = x.shape[axis]
+    n_chunks = n_chunks_for(x.size * x.dtype.itemsize, size)
+    if n_chunks <= 1:
+        return fn(x, also) if also is not None else fn(x)
+    bc = size // n_chunks
+
+    def body(i, acc):
+        sl = jax.lax.dynamic_slice_in_dim(x, i * bc, bc, axis=axis)
+        if also is not None:
+            asl = jax.lax.dynamic_slice_in_dim(also, i * bc, bc, axis=axis)
+            y = fn(sl, asl)
+        else:
+            y = fn(sl)
+        return jax.lax.dynamic_update_slice_in_dim(acc, y, i * bc, axis=axis)
+
+    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros_like(x))
 
 
 # ---------------------------------------------------------------------------

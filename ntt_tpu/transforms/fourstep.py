@@ -32,6 +32,7 @@ Montgomery form in/out; inverse runs the same graph with ω^{-1} masters
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .. import limbs
@@ -82,17 +83,71 @@ def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
     omega = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
 
     A = x.reshape((W, n1, n2) + rest)
-    B = ntt_axis_fourstep(A, field, inverse, base_fn, base_max, tws)  # -> k1
     T = next(tws) if tws is not None else power_matrix(
         field, omega, n1, n2)                                    # ω^{k1·i2}
-    C = limbs.mont_mul(B, T.reshape(T.shape + (1,) * len(rest)), field)
-    Ct = jnp.moveaxis(C, 2, 1)                                   # [W,i2,k1,..]
+    Ct = _fused_level(A, T, field, inverse, base_fn)             # [W,i2,k1,..]
     D = ntt_axis_fourstep(Ct, field, inverse, base_fn, base_max, tws)
     return D.reshape((W, m) + rest)                              # X[k2*n1+k1]
 
 
+def _fused_level(x4, T, field: Field, inverse: bool, base_fn):
+    """One four-step level, chunked to stay VMEM-resident: column ladder +
+    decomposition twiddle + transposed store per chunk, ONE HBM read and
+    write of the data (the XLA analog of the fused Pallas level kernels).
+
+    x4: [W, n1, n2, *rest]; T: [W, n1, n2]. Returns [W, n2, n1, *rest].
+    """
+    from .core import n_chunks_for
+    W, n1, n2 = x4.shape[0], x4.shape[1], x4.shape[2]
+    rest = x4.shape[3:]
+    R = 1
+    for r in rest:
+        R *= r
+    xf = x4.reshape(W, n1, n2, R)
+    out = jnp.zeros((W, n2, n1, R), dtype=x4.dtype)
+
+    def level_chunk(c, t):
+        # c: [W, n1, n2c, Rc]; t: [W, n1, n2c, 1]
+        y = base_fn(c, field, inverse)
+        y = limbs.mont_mul(y, t, field)
+        return jnp.swapaxes(y, 1, 2)          # [W, n2c, n1, Rc]
+
+    cap = R if R > 1 else n2
+    n_chunks = n_chunks_for(xf.size * xf.dtype.itemsize, cap)
+    if R > 1:
+        bc = R // n_chunks
+        T4 = T[:, :, :, None]
+
+        def body(i, acc):
+            c = jax.lax.dynamic_slice_in_dim(xf, i * bc, bc, axis=3)
+            y = level_chunk(c, T4)
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, y, i * bc, axis=3)
+    else:
+        bc = n2 // n_chunks
+
+        def body(i, acc):
+            c = jax.lax.dynamic_slice_in_dim(xf, i * bc, bc, axis=2)
+            t = jax.lax.dynamic_slice_in_dim(T, i * bc, bc, axis=2)
+            y = level_chunk(c, t[:, :, :, None])
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, y, i * bc, axis=1)
+
+    if n_chunks <= 1:
+        out = level_chunk(xf, T[:, :, :, None])
+    else:
+        out = jax.lax.fori_loop(0, n_chunks, body, out)
+    return out.reshape((W, n2, n1) + rest)
+
+
 def _base_jnp(x, field: Field, inverse: bool):
-    return ntt_along_axis(x, field, inverse=inverse)
+    from .core import chunked_along_axis
+    W, m = x.shape[0], x.shape[1]
+    rest = x.shape[2:]
+    xf = x.reshape(W, m, -1)
+    y = chunked_along_axis(
+        lambda c: ntt_along_axis(c, field, inverse=inverse), xf, axis=2)
+    return y.reshape((W, m) + rest)
 
 
 def _base_stockham(x, field: Field, inverse: bool):
