@@ -65,18 +65,8 @@ def main() -> None:
     n = 1 << log_n
 
     # Build the ramp input on device (avoid pushing MBs through the host
-    # tunnel): values 0..n-1 always < p, so word 0 = low 32 bits of i,
-    # word 1 = high bits, upper words zero.
-    def make_input():
-        i = jnp.arange(n, dtype=jnp.uint32)
-        hi = (jnp.arange(n) >> 32).astype(jnp.uint32) if log_n > 32 else \
-            jnp.zeros(n, jnp.uint32)
-        planes = [i, hi] + [jnp.zeros(n, jnp.uint32)] * (field.n_words - 2)
-        x = jnp.stack(planes[: field.n_words], axis=0)
-        return limbs.to_mont(x, field)
-
-    x = jax.jit(make_input)()
-    x.block_until_ready()
+    # tunnel); chunked Montgomery conversion (see api.ramp_mont).
+    x = nt.api.ramp_mont(field, n)
 
     run, aux = nt.api.get_runner(field, n, False, algo, True, None)
 

@@ -128,22 +128,31 @@ def get_runner(field: Field, n: int, inverse: bool, algorithm: str,
             aux["coset"] = jax.jit(lambda: geometric_outer(
                 field, shift, n1, n2).reshape(field.n_words, n))()
 
+    from .transforms.core import chunked_along_axis
+
     def run(x, aux):
         batch_dims = x.ndim - 2  # [W, n, *batch]
         if not mont_io:
-            x = limbs.to_mont(x, field)
+            x = chunked_along_axis(
+                lambda c: limbs.to_mont(c, field), x, axis=1)
         if coset_shift is not None and not inverse:
             cs = aux["coset"].reshape(aux["coset"].shape + (1,) * batch_dims)
-            x = limbs.mont_mul(x, cs, field)
+            x = chunked_along_axis(
+                lambda c, t: limbs.mont_mul(c, t, field), x, axis=1, also=cs)
         y = fn(x, field, inverse, aux)
         if inverse:
-            y = _scale_by_const(y, inv_mod(n, field.p), field)
+            y = chunked_along_axis(
+                lambda c: _scale_by_const(c, inv_mod(n, field.p), field),
+                y, axis=1)
             if coset_shift is not None:
                 cs = aux["coset"].reshape(
                     aux["coset"].shape + (1,) * batch_dims)
-                y = limbs.mont_mul(y, cs, field)
+                y = chunked_along_axis(
+                    lambda c, t: limbs.mont_mul(c, t, field), y, axis=1,
+                    also=cs)
         if not mont_io:
-            y = limbs.from_mont(y, field)
+            y = chunked_along_axis(
+                lambda c: limbs.from_mont(c, field), y, axis=1)
         return y
 
     return run, aux
@@ -205,6 +214,27 @@ def coset_intt(x, field: Field | str, shift: int | None = None, **kw):
         field = get_field(field)
     shift = field.generator if shift is None else shift
     return ntt(x, field, inverse=True, coset_shift=shift, **kw)
+
+
+def ramp_mont(field: Field | str, n: int):
+    """The de-facto reference test vector (ramp 0..n-1, SURVEY.md §4) in
+    Montgomery form, built ON DEVICE with chunked conversion — the shared
+    input builder for benchmarks (a full-vector to_mont at 2^24 otherwise
+    exhausts HBM with lazy-CIOS temporaries)."""
+    if isinstance(field, str):
+        field = get_field(field)
+    from .transforms.core import chunked_along_axis
+
+    def make():
+        i = jnp.arange(n, dtype=jnp.uint32)
+        planes = [i] + [jnp.zeros(n, jnp.uint32)] * (field.n_words - 1)
+        x = jnp.stack(planes, axis=0)
+        return chunked_along_axis(
+            lambda c: limbs.to_mont(c, field), x, axis=1)
+
+    x = jax.jit(make)()
+    x.block_until_ready()
+    return x
 
 
 def polymul(a, b, field: Field | str, algorithm: str = "fourstep",

@@ -69,14 +69,7 @@ def main():
     backend = jax.devices()[0].device_kind
     print(f"# bench_suite backend={backend}", file=sys.stderr)
 
-    def ramp_mont(field, n):
-        def make():
-            i = jnp.arange(n, dtype=jnp.uint32)
-            planes = [i] + [jnp.zeros(n, jnp.uint32)] * (field.n_words - 1)
-            return limbs.to_mont(jnp.stack(planes, axis=0), field)
-        x = jax.jit(make)()
-        x.block_until_ready()
-        return x
+    from ntt_tpu.api import ramp_mont
 
     def check_subsample(field, n, y_mont, ref_fn, k=64):
         """Spot-check k output positions vs an exact host computation."""

@@ -34,13 +34,8 @@ def main():
     n = 1 << log_n
     chain = int(os.environ.get("SHOOT_CHAIN", "16"))
 
-    def make():
-        i = jnp.arange(n, dtype=jnp.uint32)
-        planes = [i] + [jnp.zeros(n, jnp.uint32)] * (field.n_words - 1)
-        return limbs.to_mont(jnp.stack(planes, 0), field)
-
-    x = jax.jit(make)()
-    x.block_until_ready()
+    from ntt_tpu.api import ramp_mont
+    x = ramp_mont(field, n)
 
     tiny = jax.jit(lambda v: v + np.uint32(1))
     sync(tiny(x))
