@@ -39,7 +39,7 @@ _HOST_TW_LIMIT = 1 << 18
 
 
 def _tw_tables(field, n, inverse, requests):
-    from .transforms.core import power_matrix
+    from .transforms.core import power_matrix_chunked
     out = []
     for (m, n1, n2) in requests:
         w = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
@@ -47,7 +47,7 @@ def _tw_tables(field, n, inverse, requests):
             out.append(jnp.asarray(host_power_matrix(field, w, n1, n2)))
         else:
             out.append(jax.jit(
-                lambda field=field, w=w, n1=n1, n2=n2: power_matrix(
+                lambda field=field, w=w, n1=n1, n2=n2: power_matrix_chunked(
                     field, w, n1, n2))())
     return out
 
@@ -123,10 +123,9 @@ def get_runner(field: Field, n: int, inverse: bool, algorithm: str,
         if n <= _HOST_TW_LIMIT:
             aux["coset"] = jnp.asarray(host_powers_fast(field, shift, n))
         else:
-            from .transforms.core import geometric_outer, split_log
-            n1, n2 = split_log(n)
-            aux["coset"] = jax.jit(lambda: geometric_outer(
-                field, shift, n1, n2).reshape(field.n_words, n))()
+            from .transforms.core import geometric_outer_chunked
+            aux["coset"] = jax.jit(
+                lambda: geometric_outer_chunked(field, shift, n))()
 
     from .transforms.core import chunked_along_axis
 

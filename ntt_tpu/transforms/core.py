@@ -250,6 +250,70 @@ def host_power_matrix(field: Field, base: int, n1: int, n2: int) -> np.ndarray:
 # Device-side twiddle generation (data-sized structures)
 # ---------------------------------------------------------------------------
 
+def power_matrix_chunked(field: Field, base: int, n1: int, n2: int):
+    """power_matrix for big tables: generated row-chunk by row-chunk so the
+    doubling loop's Montgomery temporaries stay bounded (a monolithic
+    mont_mul over [W, 512, 16384] allocates ~18GB of lazy-CIOS temps and
+    OOMs HBM). One-time cost at aux-build."""
+    W = field.n_words
+    col = jnp.asarray(host_powers_fast(field, base, n1))  # [W, n1]: base^i
+    rows_per_chunk = max(1, (1 << 20) // max(n2, 1))
+    n_chunks = max(1, n1 // rows_per_chunk)
+    rows_per_chunk = n1 // n_chunks
+    if n_chunks <= 1:
+        return power_matrix(field, base, n1, n2)
+
+    def gen_chunk(col_c):
+        # T[i, j] = (base^i)^j for the rows of this chunk, by j-doubling
+        T = limbs.const_planes(field.R, field, 2) + jnp.zeros(
+            (W, col_c.shape[1], 1), jnp.uint32)
+        wk = col_c
+        k = 1
+        while k < n2:
+            grow = min(k, n2 - k)
+            T = jnp.concatenate(
+                [T, limbs.mont_mul(T[:, :, :grow], wk[:, :, None], field)],
+                axis=2)
+            if 2 * k < n2:
+                wk = limbs.mont_sqr(wk, field)
+            k *= 2
+        return T
+
+    def body(i, acc):
+        col_c = jax.lax.dynamic_slice_in_dim(
+            col, i * rows_per_chunk, rows_per_chunk, axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            acc, gen_chunk(col_c), i * rows_per_chunk, axis=1)
+
+    out = jnp.zeros((W, n1, n2), dtype=jnp.uint32)
+    return jax.lax.fori_loop(0, n_chunks, body, out)
+
+
+def geometric_outer_chunked(field: Field, base: int, n: int):
+    """Consecutive Montgomery-form powers base^0..base^{n-1} as
+    uint32[W, n], generated on device in row chunks (rank-1 structure:
+    base^{i1*n2+j} = (base^{n2})^{i1} * base^j)."""
+    n1, n2 = split_log(n)
+    W = field.n_words
+    row = jnp.asarray(host_powers_fast(field, base, n2))          # [W, n2]
+    col = jnp.asarray(host_powers_fast(
+        field, pow(base, n2, field.p), n1))                       # [W, n1]
+    rows_per_chunk = max(1, (1 << 21) // max(n2, 1))
+    n_chunks = max(1, n1 // rows_per_chunk)
+    rows_per_chunk = n1 // n_chunks
+
+    def body(i, acc):
+        col_c = jax.lax.dynamic_slice_in_dim(
+            col, i * rows_per_chunk, rows_per_chunk, axis=1)
+        chunk = limbs.mont_mul(col_c[:, :, None], row[:, None, :], field)
+        return jax.lax.dynamic_update_slice_in_dim(
+            acc, chunk, i * rows_per_chunk, axis=1)
+
+    out = jnp.zeros((W, n1, n2), dtype=jnp.uint32)
+    out = jax.lax.fori_loop(0, n_chunks, body, out)
+    return out.reshape(W, n)
+
+
 def power_matrix(field: Field, base: int, n1: int, n2: int):
     """Montgomery-form matrix T[i, j] = base^{i*j}, uint32[W, n1, n2],
     generated on device with log2(n2) doubling steps (~n total mont_muls —

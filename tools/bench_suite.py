@@ -142,6 +142,16 @@ def main():
     best = _time(rf, af, x, reps, 2)
     report(f"bls12-381_coset_2^{log_n}", n, log_n, best, algo, True)
 
+    # ---- config 5: batched prover workload (many small polynomials) ------
+    log_n, B = (10, 16) if quick else (12, 256)
+    n = 1 << log_n
+    xb = jnp.broadcast_to(ramp_mont(f, n)[:, :, None],
+                          (f.n_words, n, B)).copy()
+    rf, af = get_runner(f, n, False, algo, True, None)
+    best = _time(rf, af, xb, reps, 8)
+    report(f"bls12-381_batched_{B}x2^{log_n}", n * B, log_n, best, algo,
+           True)
+
     print(json.dumps({"suite": results}), file=sys.stderr)
 
 
