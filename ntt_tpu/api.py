@@ -69,6 +69,13 @@ def _prep_mxu_fused(field, n, inverse):
             "mats": _mxu.base_mats(field, n, inverse)}
 
 
+def _prep_mxu_chunked(field, n, inverse):
+    return {"tws": _tw_tables(
+                field, n, inverse,
+                _fourstep.twiddle_requests(n, _mxu.BASE)),
+            "mats": _mxu.base_mats(field, n, inverse)}
+
+
 #: algorithm -> (fn(x, field, inverse, aux), prepare(field, n, inverse) ->
 #: aux pytree of device arrays). ALL data-sized tables (decomposition
 #: twiddles, base conv matrices) live in aux and enter jit as arguments —
@@ -98,9 +105,24 @@ ALGORITHMS = {
         x, field, inverse, iter(aux["tws"])),
         lambda field, n, inverse: {"tws": _mxu.expanded_twiddles(
             field, n, inverse, base=_fourstep.FUSED_M)}),
+    "mxu_chunked": (lambda x, field, inverse, aux: _mxu.ntt_mxu_chunked(
+        x, field, inverse, iter(aux["tws"]), aux["mats"]),
+        _prep_mxu_chunked),
 }
 
 _compiled_cache: dict = {}
+
+
+def resolve_algorithm(algorithm: str, field: Field, n: int) -> str:
+    """'auto' picks per size (measured on v5e, docs/DESIGN.md): the VPU
+    butterfly-ladder four-step wins while the working set stays VMEM-
+    resident; above that the MXU digit-matmul base through the chunked
+    recursion is ~2x faster (142ms vs 300ms+ at 2^22 BLS)."""
+    if algorithm != "auto":
+        return algorithm
+    from .transforms.core import CHUNK_SINGLE
+    return ("fourstep" if field.n_words * n * 4 <= CHUNK_SINGLE
+            else "mxu_chunked")
 
 
 def _scale_by_const(x, c_int: int, field: Field):
@@ -116,6 +138,7 @@ def get_runner(field: Field, n: int, inverse: bool, algorithm: str,
     the pytree of device-resident tables it consumes. Wrap run in your own
     jit (benchmark chain loops etc.) passing aux as an argument — never
     close over it."""
+    algorithm = resolve_algorithm(algorithm, field, n)
     fn, prepare = ALGORITHMS[algorithm]
     aux = prepare(field, n, inverse)
     if coset_shift is not None:
@@ -175,7 +198,7 @@ def _get_compiled(field: Field, n: int, inverse: bool, algorithm: str,
 
 
 def ntt(x, field: Field | str, inverse: bool = False,
-        algorithm: str = "fourstep", mont_io: bool = False,
+        algorithm: str = "auto", mont_io: bool = False,
         coset_shift: int | None = None):
     """Number Theoretic Transform of ``x`` (uint32[W, n] or batched
     uint32[W, n, *batch]; transforms along axis 1, natural order).
@@ -236,7 +259,7 @@ def ramp_mont(field: Field | str, n: int):
     return x
 
 
-def polymul(a, b, field: Field | str, algorithm: str = "fourstep",
+def polymul(a, b, field: Field | str, algorithm: str = "auto",
             cyclic: bool = False):
     """Polynomial product via NTT (the canonical ZKP workload).
 
@@ -264,7 +287,7 @@ def polymul(a, b, field: Field | str, algorithm: str = "fourstep",
 
 
 def lde(x, field: Field | str, blowup: int = 4, shift: int | None = None,
-        algorithm: str = "fourstep"):
+        algorithm: str = "auto"):
     """Low-degree extension: interpolate the n evaluations, then evaluate on
     a coset domain of size blowup*n (zero-pad coefficients + coset NTT)."""
     if isinstance(field, str):

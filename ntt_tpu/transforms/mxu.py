@@ -149,6 +149,21 @@ def ntt_mxu_pallas(x, field: Field, inverse: bool = False, tws=None,
                         mats=mats)
 
 
+def ntt_mxu_chunked(x, field: Field, inverse: bool = False, tws=None,
+                    mats=None):
+    """MXU digit-matmul base transforms driven by the CHUNKED four-step
+    recursion (fourstep._fused_level): twiddle products and transposes run
+    in VMEM-sized chunks, so large sizes aren't stage-pass HBM-bound like
+    the plain ntt_axis_mxu composition."""
+    from .fourstep import ntt_axis_fourstep
+
+    def base(c, f, inv):
+        return _base_ntt_pallas(c, f, inv, mats)
+
+    return ntt_axis_fourstep(x, field, inverse, base, base_max=BASE,
+                             tws=tws)
+
+
 def expanded_twiddles(field: Field, n: int, inverse: bool,
                       base: int = BASE) -> list:
     """Full-resolution per-level twiddles for the fully-fused flat-peel
