@@ -50,9 +50,8 @@ def main() -> None:
     smoke = "--smoke" in sys.argv
     log_n = int(os.environ.get("BENCH_LOGN", "10" if smoke else "18"))
     field_name = os.environ.get("BENCH_FIELD", "bls12-381-fr")
-    # default = measured-fastest algorithm on v5e (see docs/DESIGN.md):
-    # the VPU butterfly-ladder four-step
-    algo = os.environ.get("BENCH_ALGO", "fourstep")
+    # 'auto' = size-adaptive measured-fastest (api.resolve_algorithm)
+    algo = os.environ.get("BENCH_ALGO", "auto")
     reps = int(os.environ.get("BENCH_REPS", "3" if smoke else "5"))
 
     import jax

@@ -94,7 +94,7 @@ def main():
         results.append(rec)
         print(json.dumps(rec))
 
-    algo = os.environ.get("SUITE_ALGO", "fourstep")
+    algo = os.environ.get("SUITE_ALGO", "auto")
 
     # ---- config 1: 2^12 BN254 forward+inverse, bit-exact -------------------
     f = nt.BN254_FR
