@@ -121,8 +121,11 @@ def resolve_algorithm(algorithm: str, field: Field, n: int) -> str:
     if algorithm != "auto":
         return algorithm
     from .transforms.core import CHUNK_SINGLE
-    return ("fourstep" if field.n_words * n * 4 <= CHUNK_SINGLE
-            else "mxu_chunked")
+    big = field.n_words * n * 4 > CHUNK_SINGLE
+    # the MXU-at-scale win is measured on 256-bit fields; narrow fields
+    # (small Proth, Goldilocks) have far cheaper VPU ladders and stay on
+    # fourstep (2^26 small-proth: 158ms via fourstep)
+    return "mxu_chunked" if (big and field.n_words >= 8) else "fourstep"
 
 
 def _scale_by_const(x, c_int: int, field: Field):
