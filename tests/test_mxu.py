@@ -101,6 +101,23 @@ def test_mxu_pallas_bn254():
     assert got == oracle.ntt_golden(x, f)
 
 
+def test_mxu_chunked_and_auto():
+    """mxu_chunked (MXU base through the chunked four-step recursion, the
+    large-size auto choice) and the auto dispatcher itself."""
+    f, n = nt.SMALL, 1 << 10
+    x = oracle.ramp(n, f)
+    golden = oracle.ntt_golden(x, f)
+    assert nt.to_ints(nt.ntt(nt.from_ints(x, f), f,
+                             algorithm="mxu_chunked"), f) == golden
+    assert nt.to_ints(nt.ntt(nt.from_ints(x, f), f,
+                             algorithm="auto"), f) == golden
+    from ntt_tpu.api import resolve_algorithm
+    assert resolve_algorithm("auto", nt.BLS12_381_FR, 1 << 22) == \
+        "mxu_chunked"
+    assert resolve_algorithm("auto", nt.BLS12_381_FR, 1 << 16) == "fourstep"
+    assert resolve_algorithm("auto", nt.SMALL, 1 << 26) == "fourstep"
+
+
 def test_mxu_coset_lde():
     f, n = nt.SMALL, 64
     x = oracle.ramp(n, f)
