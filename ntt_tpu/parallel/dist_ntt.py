@@ -264,3 +264,39 @@ def dist_ntt(x_sharded, field: Field, mesh: Mesh, n: int,
 def dist_intt(x_sharded, field: Field, mesh: Mesh, n: int,
               mont_io: bool = True, algorithm: str = "jnp"):
     return _get(field, n, mesh, True, mont_io, algorithm)(x_sharded)
+
+
+def dist_lde(x_sharded, field: Field, mesh: Mesh, n: int, blowup: int = 4,
+             shift: int | None = None, algorithm: str = "jnp"):
+    """Distributed low-degree extension (BASELINE config 4 at pod scale):
+    interpolate the n sharded evaluations, zero-pad the coefficients to
+    blowup*n, and evaluate on the coset domain — the inter-stage re-layout
+    is one GSPMD resharding.
+
+    Input: uint32[W, n1, n2] Montgomery form sharded P(None, None, 'ntt')
+    (see shard_for_ntt for size n). Output: the coset evaluations in the
+    same distributed four-step layout for size N = blowup*n, i.e.
+    uint32[W, N2, N1] sharded on the last axis, value X[k2*N1 + k1].
+    """
+    shift = field.generator if shift is None else shift
+    N = blowup * n
+    W = field.n_words
+    n1p, n2p = split_log(N)
+    D = _axis_size(mesh)
+    assert n2p % D == 0
+
+    coeffs = _get(field, n, mesh, True, True, algorithm)(x_sharded)
+    # coeffs: [W, n2, n1] sharded on k1, natural order when flattened
+
+    spec = NamedSharding(mesh, P(None, None, AXIS))
+
+    def expand(y):
+        flat = y.reshape(W, n)
+        padded = jnp.concatenate(
+            [flat, jnp.zeros((W, N - n), dtype=jnp.uint32)], axis=1)
+        return padded.reshape(W, n1p, n2p)
+
+    expanded = jax.jit(expand, out_shardings=spec)(coeffs)
+    fwd = make_dist_ntt(field, N, mesh, inverse=False, mont_io=True,
+                        algorithm=algorithm, coset_shift=shift)
+    return fwd(expanded)

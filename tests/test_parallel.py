@@ -84,6 +84,19 @@ def test_dist_coset_roundtrip():
     assert nt.to_ints(limbs.from_mont(unshard(back), f), f) == x
 
 
+def test_dist_lde():
+    """Distributed LDE: interpolate sharded evaluations, zero-pad, coset
+    NTT at blowup*n — matches the host golden LDE."""
+    from ntt_tpu.parallel import dist_lde
+    f, n, blowup = nt.SMALL, 64, 4
+    mesh = _mesh(4)
+    x = oracle.ramp(n, f)
+    Xs = shard_for_ntt(limbs.to_mont(nt.from_ints(x, f), f), f, mesh)
+    y = dist_lde(Xs, f, mesh, n, blowup=blowup)
+    got = nt.to_ints(limbs.from_mont(unshard(y), f), f)
+    assert got == oracle.lde_golden(x, f, blowup)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
