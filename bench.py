@@ -1,19 +1,20 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline: NTT butterflies/sec/chip on the flagship transform (four-step,
-256-bit BLS12-381 Fr, Montgomery-form I/O) at n = 2^BENCH_LOGN (default
-2^18), on whatever backend jax selects (real TPU under the driver).
+Headline: sustained NTT butterflies/sec/chip on the flagship transform
+(algorithm='auto', 256-bit BLS12-381 Fr, Montgomery-form I/O) at
+n = 2^BENCH_LOGN (default 2^18), on whatever backend jax selects (real
+TPU under the driver).
 
-``vs_baseline`` is measured throughput / the per-chip limb-arithmetic
-roofline ("speed-of-light limb-op model", BASELINE.md): the reference
-publishes no numbers (BASELINE.json "published": {}), so the roofline model
-is the baseline. Model (documented assumptions, see _rooflinebelow):
-a radix-2 butterfly costs one Montgomery product plus a modular add and
-subtract in 16-bit half-limb arithmetic; the VPU issues one uint32 ALU op
-per lane per cycle across 8x128 lanes.
+``vs_baseline`` is measured throughput / the per-chip modular-multiply
+roofline (BASELINE.md): the reference publishes no numbers
+(BASELINE.json "published": {}), so the roofline model is the baseline.
+Model: a radix-2 butterfly needs one modular product >= 2*(bits/8)^2
+8-bit-digit MACs on the MXU at the measured MAC rate (see
+_roofline_butterflies_per_sec; timing caveats in docs/DESIGN.md).
 
-Env overrides: BENCH_LOGN, BENCH_FIELD (ntt_tpu field name), BENCH_ALGO
-(fourstep|naive), BENCH_REPS. ``--smoke`` runs a tiny config.
+Env overrides: BENCH_LOGN, BENCH_FIELD, BENCH_ALGO (any name in
+ntt_tpu.api.ALGORITHMS or 'auto'), BENCH_REPS, BENCH_CHAIN,
+BENCH_MAC_RATE. ``--smoke`` runs a tiny config.
 """
 
 from __future__ import annotations

@@ -55,7 +55,8 @@ def _tw_tables(field, n, inverse, requests):
 def _prep_fourstep(base_max):
     def prep(field, n, inverse):
         return {"tws": _tw_tables(
-            field, n, inverse, _fourstep.twiddle_requests(n, base_max))}
+            field, n, inverse,
+            _fourstep.twiddle_requests(n, base_max, field))}
     return prep
 
 
@@ -72,8 +73,8 @@ def _prep_mxu_fused(field, n, inverse):
 def _prep_mxu_chunked(field, n, inverse):
     return {"tws": _tw_tables(
                 field, n, inverse,
-                _fourstep.twiddle_requests(n, _mxu.BASE)),
-            "mats": _mxu.base_mats(field, n, inverse)}
+                _fourstep.twiddle_requests(n, _mxu.BASE, field)),
+            "mats": _mxu.base_mats(field, n, inverse, residency=True)}
 
 
 #: algorithm -> (fn(x, field, inverse, aux), prepare(field, n, inverse) ->

@@ -49,21 +49,42 @@ from .core import ntt_along_axis, power_matrix, split_log
 BASE_MAX = 512
 
 
-def _split(m: int, base_max: int):
-    """Peel split for m > base_max: n1 = base_max columns (handled by the
-    base kernel directly), rows recurse."""
+def _resident_elems(field: Field) -> int:
+    """Largest power-of-two element count whose word planes fit the
+    VMEM-residency budget (see core.CHUNK_SINGLE)."""
+    from .core import CHUNK_SINGLE
+    e = CHUNK_SINGLE // (field.n_words * 4)
+    return 1 << (e.bit_length() - 1)
+
+
+def _split(m: int, base_max: int, field: Field | None = None):
+    """Split for m > base_max. Residency-aware peel: when m exceeds the
+    VMEM-residency budget, peel columns of the LARGEST resident length so
+    each chunk's whole multi-level column sub-transform runs on-chip (its
+    inner levels cost zero HBM passes); otherwise peel base_max columns.
+    Measured (same-session A/B at 2^22 BLS): the residency peel REGRESSES
+    mxu_chunked 115ms -> 164ms — XLA does not keep the inner sub-transform
+    resident inside fori bodies — so it is OFF by default; set
+    NTT_RESIDENT_SPLIT=1 to experiment."""
+    import os
+    if field is not None and os.environ.get("NTT_RESIDENT_SPLIT", "0") == "1":
+        r = _resident_elems(field)
+        if m > r > base_max:
+            return r, m // r
     return base_max, m // base_max
 
 
-def twiddle_requests(m: int, base_max: int = BASE_MAX) -> list:
+def twiddle_requests(m: int, base_max: int = BASE_MAX,
+                     field: Field | None = None) -> list:
     """The (m, n1, n2) decomposition-twiddle tables the recursion consumes,
     in consumption order (build them with core.host_power_matrix and pass an
-    iterator as ``tws`` to keep data-sized twiddle generation out of jit)."""
+    iterator as ``tws`` to keep data-sized twiddle generation out of jit).
+    Pass the field to mirror the residency-aware split."""
     if m <= base_max:
         return []
-    n1, n2 = _split(m, base_max)
-    return (twiddle_requests(n1, base_max) + [(m, n1, n2)]
-            + twiddle_requests(n2, base_max))
+    n1, n2 = _split(m, base_max, field)
+    return (twiddle_requests(n1, base_max, field) + [(m, n1, n2)]
+            + twiddle_requests(n2, base_max, field))
 
 
 def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
@@ -79,13 +100,28 @@ def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
     rest = x.shape[2:]
     if m <= base_max:
         return base_fn(x, field, inverse)
-    n1, n2 = _split(m, base_max)
+    n1, n2 = _split(m, base_max, field)
     omega = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
+
+    if n1 <= base_max:
+        col_fn = base_fn
+    else:
+        # residency-aware peel: the column transform is itself a recursive
+        # four-step run fully inside each VMEM-resident chunk body; its
+        # twiddles are chunk-invariant (pulled from tws once, re-iterated
+        # per chunk)
+        n_col = len(twiddle_requests(n1, base_max, field))
+        col_tws = ([next(tws) for _ in range(n_col)]
+                   if tws is not None else None)
+
+        def col_fn(c, f, inv):
+            it = iter(col_tws) if col_tws is not None else None
+            return ntt_axis_fourstep(c, f, inv, base_fn, base_max, it)
 
     A = x.reshape((W, n1, n2) + rest)
     T = next(tws) if tws is not None else power_matrix(
         field, omega, n1, n2)                                    # ω^{k1·i2}
-    Ct = _fused_level(A, T, field, inverse, base_fn)             # [W,i2,k1,..]
+    Ct = _fused_level(A, T, field, inverse, col_fn)              # [W,i2,k1,..]
     D = ntt_axis_fourstep(Ct, field, inverse, base_fn, base_max, tws)
     return D.reshape((W, m) + rest)                              # X[k2*n1+k1]
 

@@ -84,20 +84,29 @@ def twiddle_requests(m: int) -> list:
     return [(m, BASE, m // BASE)] + twiddle_requests(m // BASE)
 
 
-def base_sizes(n: int) -> set:
-    """Distinct base-transform sizes the peel-64 recursion hits."""
+def base_sizes(n: int, field: Field | None = None) -> set:
+    """Distinct base-transform sizes the recursion hits. With ``field``,
+    mirrors the residency-aware split of fourstep._split (used by
+    mxu_chunked); without, the plain peel-BASE recursion."""
+    if n <= BASE:
+        return {n}
+    if field is not None:
+        from .fourstep import _split
+        n1, n2 = _split(n, BASE, field)
+        return base_sizes(n1, field) | base_sizes(n2, field)
     m = n
     while m > BASE:
         m //= BASE
-    return {BASE, m} if n > BASE else {n}
+    return {BASE, m}
 
 
-def base_mats(field: Field, n: int, inverse: bool) -> dict:
+def base_mats(field: Field, n: int, inverse: bool,
+              residency: bool = False) -> dict:
     """{m: device int8 conv matrix} for every base size — built host-side
     and passed into jit as arguments (an 11MB matrix embedded as an MLIR
     constant OOMs the TPU compile helper)."""
     return {m: _base_matrix(field, m, inverse)
-            for m in base_sizes(n) if m > 1}
+            for m in base_sizes(n, field if residency else None) if m > 1}
 
 
 def _base_ntt_pallas(x, field: Field, inverse: bool, mats=None):
