@@ -96,6 +96,21 @@ def test_nonramp_input():
     assert got == oracle.ntt_golden(x, f)
 
 
+@pytest.mark.parametrize("algo", ["fourstep", "mxu_chunked"])
+@pytest.mark.parametrize("field", ["bls12-381-fr", "goldilocks"])
+def test_random_inputs(field, algo):
+    """Randomized (non-ramp) vectors including boundary values — the ramp
+    inputs the reference de-facto uses (SURVEY.md §4) can mask value-
+    dependent carry bugs."""
+    import random
+    f = nt.get_field(field)
+    n = 32
+    rng = random.Random(hash((field, algo)) & 0xFFFF)
+    x = [f.p - 1, 0, 1, f.p - 2] + [rng.randrange(f.p) for _ in range(n - 4)]
+    got = nt.to_ints(nt.ntt(nt.from_ints(x, f), f, algorithm=algo), f)
+    assert got == oracle.ntt_golden(x, f)
+
+
 def test_batched_api():
     """uint32[W, n, B] transforms along axis 1 — every column matches the
     per-vector golden model."""
