@@ -117,9 +117,37 @@ def _device_scalar(table, field: Field):
     return jax.lax.dynamic_slice_in_dim(table, idx, 1, axis=1)[:, :, None]
 
 
+def _ring_transpose(C, n1: int, n2: int, n2_loc: int):
+    """The four-step transpose as D-1 neighbor ppermute steps instead of
+    one monolithic all_to_all: device d picks its n1-chunk out of each
+    buffer revolution and places it at the source's column block. On a
+    ring interconnect this exposes per-step overlap opportunities (the
+    XLA-collective analog of a Pallas make_async_remote_copy ring,
+    SNIPPETS.md pattern [2]); on a 1-hop-all-to-all fabric the single
+    collective is usually better — hence an option, not the default."""
+    D = n2 // n2_loc  # static axis size
+    me = jax.lax.axis_index(AXIS)
+    W = C.shape[0]
+    n1_loc = n1 // D
+    out = jnp.zeros((W, n1_loc, n2), dtype=C.dtype)
+    perm = [(i, (i + 1) % D) for i in range(D)]
+
+    def body(s, carry):
+        buf, out = carry
+        src = (me - s) % D
+        take = jax.lax.dynamic_slice_in_dim(buf, me * n1_loc, n1_loc, axis=1)
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, take, src * n2_loc, axis=2)
+        buf = jax.lax.ppermute(buf, AXIS, perm)
+        return buf, out
+
+    _, out = jax.lax.fori_loop(0, D, body, (C, out))
+    return out
+
+
 def _local_step(xb, idx_base, coset, field: Field, n1: int, n2: int,
                 n2_loc: int, omega: int, inverse: bool, n_inv: int | None,
-                algorithm: str = "jnp"):
+                algorithm: str = "jnp", exchange: str = "all_to_all"):
     """Per-device body (inside shard_map). xb: uint32[W, n1, n2_loc].
 
     ``coset``: None, or (local_table [W, n1, n2_loc], device_base [W, D]) —
@@ -158,7 +186,11 @@ def _local_step(xb, idx_base, coset, field: Field, n1: int, n2: int,
     C = limbs.mont_mul(C, col, field)  # broadcast over axis 2
 
     # 3. the transpose collective: [W, n1, n2_loc] -> [W, n1_loc, n2]
-    Ca = jax.lax.all_to_all(C, AXIS, split_axis=1, concat_axis=2, tiled=True)
+    if exchange == "ring":
+        Ca = _ring_transpose(C, n1, n2, n2_loc)
+    else:
+        Ca = jax.lax.all_to_all(C, AXIS, split_axis=1, concat_axis=2,
+                                tiled=True)
 
     # 4. local transpose + row NTTs over i2
     Ct = jnp.transpose(Ca, (0, 2, 1))  # [W, n2, n1_loc]
@@ -175,7 +207,8 @@ def _local_step(xb, idx_base, coset, field: Field, n1: int, n2: int,
 
 def make_dist_ntt(field: Field, n: int, mesh: Mesh, inverse: bool = False,
                   mont_io: bool = True, algorithm: str = "jnp",
-                  coset_shift: int | None = None):
+                  coset_shift: int | None = None,
+                  exchange: str = "all_to_all"):
     """Build a jitted distributed NTT for (field, n, mesh).
 
     Takes uint32[W, n1, n2] sharded P(None, None, 'ntt') (see
@@ -222,7 +255,8 @@ def make_dist_ntt(field: Field, n: int, mesh: Mesh, inverse: bool = False,
 
     body = functools.partial(
         _local_step, field=field, n1=n1, n2=n2, n2_loc=n2_loc,
-        omega=omega, inverse=inverse, n_inv=n_inv, algorithm=algorithm)
+        omega=omega, inverse=inverse, n_inv=n_inv, algorithm=algorithm,
+        exchange=exchange)
 
     spec = P(None, None, AXIS)
     coset_specs = (P(None, None, None), P(None, None)) if coset else ()

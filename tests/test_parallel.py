@@ -84,6 +84,18 @@ def test_dist_coset_roundtrip():
     assert nt.to_ints(limbs.from_mont(unshard(back), f), f) == x
 
 
+def test_dist_ring_exchange():
+    """The ring-ppermute transpose must be bit-identical to the monolithic
+    all_to_all."""
+    f, n = nt.SMALL, 256
+    mesh = _mesh(4)
+    x = oracle.ramp(n, f)
+    Xs = shard_for_ntt(limbs.to_mont(nt.from_ints(x, f), f), f, mesh)
+    y = make_dist_ntt(f, n, mesh, exchange="ring")(Xs)
+    got = nt.to_ints(limbs.from_mont(unshard(y), f), f)
+    assert got == oracle.ntt_golden(x, f)
+
+
 def test_dist_lde():
     """Distributed LDE: interpolate sharded evaluations, zero-pad, coset
     NTT at blowup*n — matches the host golden LDE."""
