@@ -245,11 +245,15 @@ def ntt_fourstep_pallas(x, field: Field, inverse: bool = False, tws=None):
 
 def ntt_fourstep_pallas_fused(x, field: Field, inverse: bool = False,
                               tws=None):
-    """Fully-fused VPU flagship: ONE Pallas kernel per four-step level
+    """Fully-fused VPU variant: ONE Pallas kernel per four-step level
     (all butterfly stages + decomposition twiddle + transposed store in
     VMEM), one HBM pass per level plus the bit-reversal gathers. ``tws``
     must be expanded twiddles built with base=FUSED_M (see
-    mxu.expanded_twiddles); flat-peel loop as in mxu.ntt_mxu_fused."""
+    mxu.expanded_twiddles); flat-peel loop as in mxu.ntt_mxu_fused.
+
+    KNOWN LIMIT: for 16-half (256-bit) fields the unrolled kernel OOMs the
+    Mosaic compile helper even at FUSED_M=128 — use it for narrow fields;
+    256-bit production paths are 'fourstep'/'mxu_chunked' (auto)."""
     from ..kernels.vmem_ntt import fused_stage_level
     assert x.ndim == 2, "fused flat-peel drivers take unbatched uint32[W, n]"
     W, n = x.shape
