@@ -17,6 +17,12 @@ reference's separate ``rearrange`` kernel, GZKP-NTT.cu:50-57).
 The in-kernel field arithmetic IS ``ntt_tpu.limbs`` — the limb ops are pure
 jnp on uint32 and trace into the kernel unchanged, so the Pallas and XLA
 paths share one arithmetic implementation (one bit-exactness surface).
+
+Prefetch overlap: the reference's parallel-load variant dedicates half of
+each block to double-buffering the next round's twiddles
+(/root/reference/src/parallel-load.cu:129-185). Here that overlap comes
+from Pallas's pipelined grid: blocked BlockSpecs automatically
+double-buffer the next tile's DMA against the current tile's compute.
 """
 
 from __future__ import annotations
