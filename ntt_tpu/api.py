@@ -37,13 +37,35 @@ from .transforms.naive import ntt_naive
 #: slower than one small generation graph
 _HOST_TW_LIMIT = 1 << 18
 
+#: OPTIONAL factorization of the TOP-level decomposition twiddle (data-
+#: sized, n entries) into two tiny tables (i2 = j2·S2 + s2 -> TJ ⊗ TS,
+#: see fourstep._fused_level): trades the table's HBM read + generation +
+#: residency for one extra mont_mul per element. MEASURED A LOSS on this
+#: tile at every size (2^18: 2.1->3.7ms, 2^20: 19->30ms, 2^22: 120->170ms
+#: — the VPU mul + reshape relayouts cost more than the table stream), so
+#: OFF by default; set NTT_FACTOR_TW_MIN=<n> to enable above size n
+#: (useful when the table itself would exhaust HBM, e.g. 2^26-scale).
+FACTOR_TW_MIN = int(__import__("os").environ.get("NTT_FACTOR_TW_MIN", "0"))
+
+
+def _factor_split(n2: int) -> tuple:
+    """n2 = J2 * S2 with S2 = min(2^floor(log2(n2)/2), 512) — S2 capped so
+    chunked execution (chunk >= S2 columns) always aligns."""
+    S2 = 1 << min((n2.bit_length() - 1) // 2, 9)
+    return n2 // S2, S2
+
 
 def _tw_tables(field, n, inverse, requests):
     from .transforms.core import power_matrix_chunked
     out = []
     for (m, n1, n2) in requests:
         w = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
-        if n1 * n2 <= _HOST_TW_LIMIT:
+        if FACTOR_TW_MIN and m == n and m > FACTOR_TW_MIN and n2 > 1:
+            J2, S2 = _factor_split(n2)
+            tj = host_power_matrix(field, pow(w, S2, field.p), n1, J2)
+            ts = host_power_matrix(field, w, n1, S2)
+            out.append((jnp.asarray(tj), jnp.asarray(ts)))
+        elif n1 * n2 <= _HOST_TW_LIMIT:
             out.append(jnp.asarray(host_power_matrix(field, w, n1, n2)))
         else:
             out.append(jax.jit(
@@ -88,13 +110,16 @@ ALGORITHMS = {
     "stockham": (lambda x, field, inverse, aux: _core.ntt_along_axis_stockham(
         x, field, inverse=inverse), lambda field, n, inverse: {}),
     "fourstep": (lambda x, field, inverse, aux: ntt_fourstep(
-        x, field, inverse, iter(aux["tws"])),
+        x, field, inverse, iter(aux["tws"]),
+        pre_col=aux.get("coset_col")),
         _prep_fourstep(_fourstep.BASE_MAX)),
     "fourstep_st": (lambda x, field, inverse, aux: ntt_fourstep_stockham(
-        x, field, inverse, iter(aux["tws"])),
+        x, field, inverse, iter(aux["tws"]),
+        pre_col=aux.get("coset_col")),
         _prep_fourstep(_fourstep.BASE_MAX)),
     "pallas": (lambda x, field, inverse, aux: ntt_fourstep_pallas(
-        x, field, inverse, iter(aux["tws"])),
+        x, field, inverse, iter(aux["tws"]),
+        pre_col=aux.get("coset_col")),
         _prep_fourstep(_fourstep.PALLAS_BASE_MAX)),
     "mxu": (lambda x, field, inverse, aux: ntt_mxu(
         x, field, inverse, iter(aux["tws"]), aux["mats"]), _prep_mxu),
@@ -107,7 +132,8 @@ ALGORITHMS = {
         lambda field, n, inverse: {"tws": _mxu.expanded_twiddles(
             field, n, inverse, base=_fourstep.FUSED_M)}),
     "mxu_chunked": (lambda x, field, inverse, aux: _mxu.ntt_mxu_chunked(
-        x, field, inverse, iter(aux["tws"]), aux["mats"]),
+        x, field, inverse, iter(aux["tws"]), aux["mats"],
+        pre_col=aux.get("coset_col")),
         _prep_mxu_chunked),
 }
 
@@ -115,25 +141,38 @@ _compiled_cache: dict = {}
 
 
 def resolve_algorithm(algorithm: str, field: Field, n: int) -> str:
-    """'auto' picks per size (measured on v5e, docs/DESIGN.md): the VPU
-    butterfly-ladder four-step wins while the working set stays VMEM-
-    resident; above that the MXU digit-matmul base through the chunked
-    recursion is ~2x faster (142ms vs 300ms+ at 2^22 BLS)."""
+    """'auto' picks per (field, size), from sustained chain-64 shootouts
+    on v5e (docs/DESIGN.md):
+
+    - 256-bit fields: ``mxu_chunked`` at EVERY size — round 2 measured it
+      8.5x faster than the VPU ladder at 2^18 BLS sustained (1.77 vs
+      15.1 ms/iter) and 2-5x at 2^14/2^16/2^22. Round 1's 'fourstep when
+      resident' rule was tuned on burst numbers; under the sustained
+      protocol the ladder's advantage evaporates (the tile is power-
+      capped, and the MXU path does ~6x less VPU work per element).
+    - narrow fields (small Proth, Goldilocks): ``fourstep`` — the VPU
+      ladder is cheap per element and large transforms are HBM-pass-bound
+      (2^26 small-proth: 158ms via fourstep).
+    """
     if algorithm != "auto":
         return algorithm
-    from .transforms.core import CHUNK_SINGLE
-    big = field.n_words * n * 4 > CHUNK_SINGLE
-    # the MXU-at-scale win is measured on 256-bit fields; narrow fields
-    # (small Proth, Goldilocks) have far cheaper VPU ladders and stay on
-    # fourstep (2^26 small-proth: 158ms via fourstep)
-    return "mxu_chunked" if (big and field.n_words >= 8) else "fourstep"
+    return "mxu_chunked" if field.n_words >= 8 else "fourstep"
 
 
-def _scale_by_const(x, c_int: int, field: Field):
-    """Multiply every element by the constant c (standard-form int):
-    mont_mul by mont(c)."""
-    c = limbs.const_planes(field.to_mont_int(c_int), field, ndim=x.ndim - 1)
-    return limbs.mont_mul(x, c, field)
+def _first_level(algorithm: str, field: Field, n: int):
+    """(n1, n2, tws_index) of the top four-step level for the algorithms
+    whose aux twiddle list follows fourstep.twiddle_requests order — the
+    coset-fusion targets. None when the algorithm has no such level (flat
+    drivers, naive/stockham, or n within one base transform)."""
+    base_max = {"fourstep": _fourstep.BASE_MAX,
+                "fourstep_st": _fourstep.BASE_MAX,
+                "pallas": _fourstep.PALLAS_BASE_MAX,
+                "mxu_chunked": _mxu.BASE}.get(algorithm)
+    if base_max is None or n <= base_max:
+        return None
+    n1, n2 = _fourstep._split(n, base_max, field)
+    idx = len(_fourstep.twiddle_requests(n1, base_max, field))
+    return n1, n2, idx
 
 
 def get_runner(field: Field, n: int, inverse: bool, algorithm: str,
@@ -145,37 +184,84 @@ def get_runner(field: Field, n: int, inverse: bool, algorithm: str,
     algorithm = resolve_algorithm(algorithm, field, n)
     fn, prepare = ALGORITHMS[algorithm]
     aux = prepare(field, n, inverse)
+
+    from .transforms.core import chunked_along_axis
+
+    fused_coset = False
     if coset_shift is not None:
         shift = coset_shift if not inverse else inv_mod(coset_shift, field.p)
-        if n <= _HOST_TW_LIMIT:
+        fl = _first_level(algorithm, field, n) if not inverse else None
+        if fl is not None:
+            # Fuse the forward coset premultiply c^{i1·n2+i2} into the
+            # first four-step level instead of a standalone HBM pass
+            # (VERDICT round 1 item 4; reference analog: twiddle applied
+            # on load, GZKP-NTT.cu:423-429). Rank-1 factorization:
+            #   c^{i2}      -> folded into the first decomposition
+            #                  twiddle table here, at prepare time;
+            #   c^{i1·n2}   -> tiny [W, n1] column vector applied inside
+            #                  the first level's VMEM-resident chunk.
+            n1, n2, idx = fl
+            aux["tws"] = list(aux["tws"])
+            T0 = aux["tws"][idx]
+            if isinstance(T0, tuple):
+                # factored table: fold c^{i2} = (c^{S2})^{j2} · c^{s2}
+                # into the respective factor (all tiny, device one-time)
+                TJ, TS = T0
+                J2, S2 = TJ.shape[2], TS.shape[2]
+                rj = jnp.asarray(host_powers_fast(
+                    field, pow(shift % field.p, S2, field.p), J2))
+                rs = jnp.asarray(host_powers_fast(field, shift, S2))
+                fold = jax.jit(lambda T, r: limbs.mont_mul(
+                    T, r[:, None, :], field))
+                aux["tws"][idx] = (fold(TJ, rj), fold(TS, rs))
+            else:
+                if n2 <= _HOST_TW_LIMIT:
+                    rowv = jnp.asarray(host_powers_fast(field, shift, n2))
+                else:
+                    from .transforms.core import geometric_outer_chunked
+                    rowv = jax.jit(
+                        lambda: geometric_outer_chunked(field, shift, n2))()
+                aux["tws"][idx] = jax.jit(lambda T, r: chunked_along_axis(
+                    lambda c, t: limbs.mont_mul(c, t, field), T, axis=2,
+                    also=r))(T0, rowv[:, None, :])
+            aux["coset_col"] = jnp.asarray(host_powers_fast(
+                field, pow(shift % field.p, n2, field.p), n1))
+            fused_coset = True
+        elif n <= _HOST_TW_LIMIT:
             aux["coset"] = jnp.asarray(host_powers_fast(field, shift, n))
         else:
             from .transforms.core import geometric_outer_chunked
             aux["coset"] = jax.jit(
                 lambda: geometric_outer_chunked(field, shift, n))()
 
-    from .transforms.core import chunked_along_axis
-
     def run(x, aux):
         batch_dims = x.ndim - 2  # [W, n, *batch]
+        x = limbs.debug_check(x, field, "ntt input")
         if not mont_io:
             x = chunked_along_axis(
                 lambda c: limbs.to_mont(c, field), x, axis=1)
-        if coset_shift is not None and not inverse:
+        if coset_shift is not None and not inverse and not fused_coset:
             cs = aux["coset"].reshape(aux["coset"].shape + (1,) * batch_dims)
             x = chunked_along_axis(
                 lambda c, t: limbs.mont_mul(c, t, field), x, axis=1, also=cs)
         y = fn(x, field, inverse, aux)
+        y = limbs.debug_check(y, field, "transform output")
         if inverse:
-            y = chunked_along_axis(
-                lambda c: _scale_by_const(c, inv_mod(n, field.p), field),
-                y, axis=1)
+            ninv = limbs.const_planes(
+                field.to_mont_int(inv_mod(n, field.p)), field,
+                ndim=y.ndim - 1)
             if coset_shift is not None:
+                # ONE fused pass: 1/n scale and coset post-multiply share
+                # the chunk body (two VMEM muls, one HBM read+write)
                 cs = aux["coset"].reshape(
                     aux["coset"].shape + (1,) * batch_dims)
                 y = chunked_along_axis(
-                    lambda c, t: limbs.mont_mul(c, t, field), y, axis=1,
-                    also=cs)
+                    lambda c, t: limbs.mont_mul(
+                        limbs.mont_mul(c, ninv, field), t, field),
+                    y, axis=1, also=cs)
+            else:
+                y = chunked_along_axis(
+                    lambda c: limbs.mont_mul(c, ninv, field), y, axis=1)
         if not mont_io:
             y = chunked_along_axis(
                 lambda c: limbs.from_mont(c, field), y, axis=1)
@@ -193,7 +279,10 @@ def _build(field: Field, n: int, inverse: bool, algorithm: str,
 
 def _get_compiled(field: Field, n: int, inverse: bool, algorithm: str,
                   mont_io: bool, coset_shift):
-    key = (field.name, n, inverse, algorithm, mont_io, coset_shift)
+    import os
+    # NTT_DEBUG is baked in at trace time, so it must be part of the key
+    key = (field.name, n, inverse, algorithm, mont_io, coset_shift,
+           os.environ.get("NTT_DEBUG", "0"))
     got = _compiled_cache.get(key)
     if got is None:
         got = _build(field, n, inverse, algorithm, mont_io, coset_shift)
@@ -213,10 +302,13 @@ def ntt(x, field: Field | str, inverse: bool = False,
     if isinstance(field, str):
         field = get_field(field)
     n = x.shape[1]
-    assert n & (n - 1) == 0, "transform size must be a power of two"
-    assert x.shape[0] == field.n_words, (
-        f"expected limb-leading uint32[{field.n_words}, n, *batch], "
-        f"got {x.shape}")
+    # real exceptions, not asserts: public-API validation must survive -O
+    if n & (n - 1) != 0:
+        raise ValueError(f"transform size must be a power of two, got {n}")
+    if x.shape[0] != field.n_words:
+        raise ValueError(
+            f"expected limb-leading uint32[{field.n_words}, n, *batch], "
+            f"got {x.shape}")
     return _get_compiled(field, n, inverse, algorithm, mont_io,
                          coset_shift)(x)
 
@@ -263,6 +355,30 @@ def ramp_mont(field: Field | str, n: int):
     return x
 
 
+_field_jit_cache: dict = {}
+
+
+def _field_jits(field: Field):
+    """Per-field cached jitted elementwise helpers (chunked along axis 1).
+    Module-level cache: a fresh ``jax.jit(lambda ...)`` per call would
+    recompile every time — expensive on the ~420ms-per-dispatch remote
+    backend (ADVICE round 1)."""
+    got = _field_jit_cache.get(field.name)
+    if got is None:
+        from .transforms.core import chunked_along_axis
+        got = {
+            "to_mont": jax.jit(lambda u: chunked_along_axis(
+                lambda c: limbs.to_mont(c, field), u, axis=1)),
+            "from_mont": jax.jit(lambda u: chunked_along_axis(
+                lambda c: limbs.from_mont(c, field), u, axis=1)),
+            "mul": jax.jit(lambda u, v: chunked_along_axis(
+                lambda c, t: limbs.mont_mul(c, t, field), u, axis=1,
+                also=v)),
+        }
+        _field_jit_cache[field.name] = got
+    return got
+
+
 def polymul(a, b, field: Field | str, algorithm: str = "auto",
             cyclic: bool = False):
     """Polynomial product via NTT (the canonical ZKP workload).
@@ -271,6 +387,9 @@ def polymul(a, b, field: Field | str, algorithm: str = "auto",
     ``cyclic=True`` returns the length-n cyclic convolution; otherwise the
     full product of degree < 2n-1, computed on the 2n-point domain
     (zero-padded), returned as uint32[W, 2n].
+
+    The whole pipeline stays in Montgomery form: one conversion in, one
+    out, and the pointwise product is a single cached mont_mul pass.
     """
     if isinstance(field, str):
         field = get_field(field)
@@ -280,14 +399,12 @@ def polymul(a, b, field: Field | str, algorithm: str = "auto",
         pad = jnp.zeros((W, n), dtype=jnp.uint32)
         a = jnp.concatenate([a, pad], axis=1)
         b = jnp.concatenate([b, pad], axis=1)
-    fa = ntt(a, field, algorithm=algorithm, mont_io=False)
-    fb = ntt(b, field, algorithm=algorithm, mont_io=False)
-    prod = jax.jit(
-        lambda u, v: limbs.from_mont(
-            limbs.mont_mul(limbs.to_mont(u, field),
-                           limbs.to_mont(v, field), field), field)
-    )(fa, fb)
-    return intt(prod, field, algorithm=algorithm)
+    fj = _field_jits(field)
+    fa = ntt(fj["to_mont"](a), field, algorithm=algorithm, mont_io=True)
+    fb = ntt(fj["to_mont"](b), field, algorithm=algorithm, mont_io=True)
+    prod = fj["mul"](fa, fb)
+    res = intt(prod, field, algorithm=algorithm, mont_io=True)
+    return fj["from_mont"](res)
 
 
 def lde(x, field: Field | str, blowup: int = 4, shift: int | None = None,

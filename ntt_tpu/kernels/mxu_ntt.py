@@ -34,7 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import digits
 from ..fields import Field, get_field
 
-DEFAULT_BATCH_TILE = 256
+import os
+
+DEFAULT_BATCH_TILE = int(os.environ.get("NTT_MXU_BT", "256"))
 
 
 def _kernel(x_ref, a_ref, o_ref, *, field: Field, m: int, zmax_bits: int):

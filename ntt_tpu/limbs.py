@@ -357,3 +357,27 @@ def is_canonical(x, field: Field) -> jnp.ndarray:
     monitor taxonomy, cgbn.h:30-43)."""
     _, brw = _sub_halves(unpack(x), _field_halves(field))
     return brw != 0
+
+
+def debug_check(x, field: Field, where: str):
+    """NTT_DEBUG=1 tripwire: insert a traced canonicity check that raises
+    host-side if any element is >= p — the runtime analog of CGBN's error
+    monitor (cgbn.h:30-63, instantiable per kernel but unused by the
+    reference programs). A no-op (identity) unless the env var is set, so
+    production graphs carry zero overhead. Used at layer boundaries by the
+    API layer; the intended guard-rail for lazy-reduction internals."""
+    import os
+    if os.environ.get("NTT_DEBUG", "0") != "1":
+        return x
+    import jax
+
+    def _raise(ok, bad):
+        if not bool(ok):
+            raise ValueError(
+                f"NTT_DEBUG: {int(bad)} non-canonical element(s) (>= p) "
+                f"at {where} [{field.name}]")
+
+    ok = jnp.all(is_canonical(x, field))
+    bad = jnp.sum(~is_canonical(x, field))
+    jax.debug.callback(_raise, ok, bad)
+    return x

@@ -88,17 +88,28 @@ def twiddle_requests(m: int, base_max: int = BASE_MAX,
 
 
 def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
-                      base_max: int = BASE_MAX, tws=None):
+                      base_max: int = BASE_MAX, tws=None, pre_col=None):
     """Recursive four-step NTT along axis 1 of uint32[W, m, *batch] with a
     pluggable base transform (``base_fn(x[W, m, *b], field, inverse)``).
 
     ``tws``: optional iterator of pre-built decomposition-twiddle arrays
     (order per :func:`twiddle_requests`); None generates them on device
     (used inside shard_map where each device derives its own slice).
+
+    ``pre_col``: optional [W, n1] Montgomery column vector multiplied into
+    the data *before* the first level's column transforms, inside the
+    VMEM-resident chunk body — the fused-coset hook (the c^{i1·n2} factor
+    of a coset premultiply; its c^{i2} partner is folded into the first
+    decomposition twiddle at prepare time, see api.get_runner). This is
+    the TPU analog of the reference applying the twiddle on load
+    (FIELD_radix_fft_revised, /root/reference/src/GZKP-NTT.cu:423-429).
     """
     W, m = x.shape[0], x.shape[1]
     rest = x.shape[2:]
     if m <= base_max:
+        if pre_col is not None:
+            x = limbs.mont_mul(
+                x, pre_col.reshape((W, m) + (1,) * len(rest)), field)
         return base_fn(x, field, inverse)
     n1, n2 = _split(m, base_max, field)
     omega = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
@@ -121,17 +132,28 @@ def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
     A = x.reshape((W, n1, n2) + rest)
     T = next(tws) if tws is not None else power_matrix(
         field, omega, n1, n2)                                    # ω^{k1·i2}
-    Ct = _fused_level(A, T, field, inverse, col_fn)              # [W,i2,k1,..]
+    Ct = _fused_level(A, T, field, inverse, col_fn, pre_col)     # [W,i2,k1,..]
     D = ntt_axis_fourstep(Ct, field, inverse, base_fn, base_max, tws)
     return D.reshape((W, m) + rest)                              # X[k2*n1+k1]
 
 
-def _fused_level(x4, T, field: Field, inverse: bool, base_fn):
+def _fused_level(x4, T, field: Field, inverse: bool, base_fn, pre_col=None):
     """One four-step level, chunked to stay VMEM-resident: column ladder +
     decomposition twiddle + transposed store per chunk, ONE HBM read and
     write of the data (the XLA analog of the fused Pallas level kernels).
 
-    x4: [W, n1, n2, *rest]; T: [W, n1, n2]. Returns [W, n2, n1, *rest].
+    x4: [W, n1, n2, *rest]. Returns [W, n2, n1, *rest].
+
+    ``T`` is either the full decomposition twiddle [W, n1, n2], or a
+    FACTORIZED pair ``(TJ [W, n1, J2], TS [W, n1, S2])`` with n2 = J2·S2
+    and T[k1, j2·S2+s2] = TJ[k1, j2]·TS[k1, s2] (exact: ω^{k1·i2} splits
+    on i2's digits). The factored form replaces a data-sized table read
+    (and its device-side generation) with two tiny reads plus one extra
+    mont_mul per element — the win that keeps the level's working set
+    VMEM-resident (round 2; see api._tw_tables).
+
+    ``pre_col``: optional [W, n1] pre-transform column scaling (see
+    :func:`ntt_axis_fourstep`), fused into the chunk body.
     """
     from .core import n_chunks_for
     W, n1, n2 = x4.shape[0], x4.shape[1], x4.shape[2]
@@ -141,22 +163,38 @@ def _fused_level(x4, T, field: Field, inverse: bool, base_fn):
         R *= r
     xf = x4.reshape(W, n1, n2, R)
     out = jnp.zeros((W, n2, n1, R), dtype=x4.dtype)
+    pc4 = None if pre_col is None else pre_col[:, :, None, None]
+    factored = isinstance(T, tuple)
+    if factored:
+        TJ, TS = T
+        S2 = TS.shape[2]
 
-    def level_chunk(c, t):
-        # c: [W, n1, n2c, Rc]; t: [W, n1, n2c, 1]
+    def apply_tw(y, tj):
+        # y: [W, n1, n2c, Rc]
+        if not factored:
+            return limbs.mont_mul(y, tj, field)       # tj [W, n1, n2c, 1]
+        n2c, Rc = y.shape[2], y.shape[3]
+        yf = y.reshape(W, n1, n2c // S2, S2, Rc)
+        yf = limbs.mont_mul(yf, tj[:, :, :, None, None], field)
+        yf = limbs.mont_mul(yf, TS[:, :, None, :, None], field)
+        return yf.reshape(W, n1, n2c, Rc)
+
+    def level_chunk(c, tj):
+        if pc4 is not None:
+            c = limbs.mont_mul(c, pc4, field)
         y = base_fn(c, field, inverse)
-        y = limbs.mont_mul(y, t, field)
+        y = apply_tw(y, tj)
         return jnp.swapaxes(y, 1, 2)          # [W, n2c, n1, Rc]
 
-    cap = R if R > 1 else n2
+    cap = R if R > 1 else ((n2 // S2) if factored else n2)
     n_chunks = n_chunks_for(xf.size * xf.dtype.itemsize, cap)
+    t_full = TJ if factored else T[:, :, :, None]
     if R > 1:
         bc = R // n_chunks
-        T4 = T[:, :, :, None]
 
         def body(i, acc):
             c = jax.lax.dynamic_slice_in_dim(xf, i * bc, bc, axis=3)
-            y = level_chunk(c, T4)
+            y = level_chunk(c, t_full)
             return jax.lax.dynamic_update_slice_in_dim(
                 acc, y, i * bc, axis=3)
     else:
@@ -164,13 +202,18 @@ def _fused_level(x4, T, field: Field, inverse: bool, base_fn):
 
         def body(i, acc):
             c = jax.lax.dynamic_slice_in_dim(xf, i * bc, bc, axis=2)
-            t = jax.lax.dynamic_slice_in_dim(T, i * bc, bc, axis=2)
-            y = level_chunk(c, t[:, :, :, None])
+            if factored:
+                t = jax.lax.dynamic_slice_in_dim(
+                    TJ, i * (bc // S2), bc // S2, axis=2)
+            else:
+                t = jax.lax.dynamic_slice_in_dim(
+                    T, i * bc, bc, axis=2)[:, :, :, None]
+            y = level_chunk(c, t)
             return jax.lax.dynamic_update_slice_in_dim(
                 acc, y, i * bc, axis=1)
 
     if n_chunks <= 1:
-        out = level_chunk(xf, T[:, :, :, None])
+        out = level_chunk(xf, t_full)
     else:
         out = jax.lax.fori_loop(0, n_chunks, body, out)
     return out.reshape((W, n2, n1) + rest)
@@ -191,7 +234,8 @@ def _base_stockham(x, field: Field, inverse: bool):
     return ntt_along_axis_stockham(x, field, inverse=inverse)
 
 
-def ntt_fourstep_stockham(x, field: Field, inverse: bool = False, tws=None):
+def ntt_fourstep_stockham(x, field: Field, inverse: bool = False, tws=None,
+                          pre_col=None):
     """Four-step with the Stockham self-sorting ladder as base transform —
     the flagship candidate with ZERO gather/bit-reversal passes anywhere
     (every data movement is a reshape or the level transpose)."""
@@ -200,17 +244,18 @@ def ntt_fourstep_stockham(x, field: Field, inverse: bool = False, tws=None):
     if n2 == 1:
         return _base_stockham(x, field, inverse)
     return ntt_axis_fourstep(x, field, inverse, _base_stockham,
-                             base_max=BASE_MAX, tws=tws)
+                             base_max=BASE_MAX, tws=tws, pre_col=pre_col)
 
 
-def ntt_fourstep(x, field: Field, inverse: bool = False, tws=None):
+def ntt_fourstep(x, field: Field, inverse: bool = False, tws=None,
+                 pre_col=None):
     """x: uint32[W, n] Montgomery form, n a power of two >= 4."""
     n = x.shape[1]
     n1, n2 = split_log(n)
     if n2 == 1:
         return ntt_along_axis(x, field, inverse=inverse)
     return ntt_axis_fourstep(x, field, inverse, _base_jnp,
-                             base_max=BASE_MAX, tws=tws)
+                             base_max=BASE_MAX, tws=tws, pre_col=pre_col)
 
 
 def _base_pallas(x, field: Field, inverse: bool):
@@ -233,14 +278,16 @@ PALLAS_BASE_MAX = 256
 FUSED_M = 128
 
 
-def ntt_fourstep_pallas(x, field: Field, inverse: bool = False, tws=None):
+def ntt_fourstep_pallas(x, field: Field, inverse: bool = False, tws=None,
+                        pre_col=None):
     """Four-step with the VMEM-fused Pallas kernel as the base transform
     (the bellperson/GZKP-equivalent production path on one chip)."""
     n = x.shape[1]
     if n <= 2:
         return ntt_along_axis(x, field, inverse=inverse)
     return ntt_axis_fourstep(x, field, inverse, _base_pallas,
-                             base_max=PALLAS_BASE_MAX, tws=tws)
+                             base_max=PALLAS_BASE_MAX, tws=tws,
+                             pre_col=pre_col)
 
 
 def ntt_fourstep_pallas_fused(x, field: Field, inverse: bool = False,

@@ -159,7 +159,7 @@ def ntt_mxu_pallas(x, field: Field, inverse: bool = False, tws=None,
 
 
 def ntt_mxu_chunked(x, field: Field, inverse: bool = False, tws=None,
-                    mats=None):
+                    mats=None, pre_col=None):
     """MXU digit-matmul base transforms driven by the CHUNKED four-step
     recursion (fourstep._fused_level): twiddle products and transposes run
     in VMEM-sized chunks, so large sizes aren't stage-pass HBM-bound like
@@ -170,7 +170,7 @@ def ntt_mxu_chunked(x, field: Field, inverse: bool = False, tws=None,
         return _base_ntt_pallas(c, f, inv, mats)
 
     return ntt_axis_fourstep(x, field, inverse, base, base_max=BASE,
-                             tws=tws)
+                             tws=tws, pre_col=pre_col)
 
 
 def expanded_twiddles(field: Field, n: int, inverse: bool,

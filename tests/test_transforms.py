@@ -82,6 +82,54 @@ def test_coset_ntt_and_intt():
     assert back == x
 
 
+def test_coset_fused_first_level():
+    """Coset premultiply fused into the first four-step level (n > base):
+    the c^{i2} factor lives in the folded twiddle table and c^{i1·n2} in
+    the pre_col hook — must match the golden coset NTT exactly."""
+    f, n = nt.SMALL, 1 << 10  # > BASE_MAX=512 -> fourstep takes fused path
+    x = oracle.ramp(n, f)
+    shift = f.generator
+    y = nt.to_ints(nt.coset_ntt(nt.from_ints(x, f), f,
+                                algorithm="fourstep"), f)
+    assert y == oracle.coset_ntt_golden(x, f, shift)
+    # mxu_chunked (BASE=32) also takes the fused path at this size
+    y2 = nt.to_ints(nt.coset_ntt(nt.from_ints(x, f), f,
+                                 algorithm="mxu_chunked"), f)
+    assert y2 == oracle.coset_ntt_golden(x, f, shift)
+    # roundtrip through the (pass-merged) inverse coset path
+    back = nt.to_ints(nt.coset_intt(nt.from_ints(y, f), f,
+                                    algorithm="fourstep"), f)
+    assert back == x
+
+
+def test_factored_top_twiddle(monkeypatch):
+    """Factorized top-level decomposition twiddle (TJ ⊗ TS, round 2):
+    bit-exact through the unchunked, chunked, and fused-coset paths.
+    The threshold is lowered so test-scale sizes take the factored path."""
+    import ntt_tpu.api as api
+    from ntt_tpu.transforms import core as _core
+    monkeypatch.setattr(api, "FACTOR_TW_MIN", 1 << 6)
+    api._compiled_cache.clear()  # drop entries built with the real knob
+    f, n = nt.SMALL, 1 << 10
+    x = oracle.ramp(n, f)
+    golden = oracle.ntt_golden(x, f)
+    for algo in ("fourstep", "mxu_chunked"):
+        got = nt.to_ints(nt.ntt(nt.from_ints(x, f), f, algorithm=algo), f)
+        assert got == golden, algo
+    # chunked execution slicing TJ per fori-loop chunk
+    monkeypatch.setattr(_core, "CHUNK_SINGLE", 1 << 10)
+    monkeypatch.setattr(_core, "CHUNK_BYTES", 1 << 9)
+    api._compiled_cache.clear()
+    got = nt.to_ints(nt.ntt(nt.from_ints(x, f), f,
+                            algorithm="mxu_chunked"), f)
+    assert got == golden
+    # fused coset folded into BOTH factors
+    got = nt.to_ints(nt.coset_ntt(nt.from_ints(x, f), f,
+                                  algorithm="mxu_chunked"), f)
+    assert got == oracle.coset_ntt_golden(x, f, f.generator)
+    api._compiled_cache.clear()  # no stale knob-baked entries for others
+
+
 def test_lde():
     f, n = nt.SMALL, 16
     x = oracle.ramp(n, f)
@@ -103,9 +151,12 @@ def test_random_inputs(field, algo):
     inputs the reference de-facto uses (SURVEY.md §4) can mask value-
     dependent carry bugs."""
     import random
+    import zlib
     f = nt.get_field(field)
     n = 32
-    rng = random.Random(hash((field, algo)) & 0xFFFF)
+    # deterministic seed (hash() is PYTHONHASHSEED-randomized per run,
+    # which would make failures unreproducible — ADVICE round 1)
+    rng = random.Random(zlib.crc32(f"{field}-{algo}".encode()))
     x = [f.p - 1, 0, 1, f.p - 2] + [rng.randrange(f.p) for _ in range(n - 4)]
     got = nt.to_ints(nt.ntt(nt.from_ints(x, f), f, algorithm=algo), f)
     assert got == oracle.ntt_golden(x, f)
