@@ -56,10 +56,15 @@ def main() -> None:
     reps = int(os.environ.get("BENCH_REPS", "3" if smoke else "5"))
 
     import jax
-    import jax.numpy as jnp
+
+    # persistent compile cache for the TPU path too (shared with the CPU
+    # test suite's .jax_cache): repeat driver invocations skip XLA compiles
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     import ntt_tpu as nt
-    from ntt_tpu import limbs
 
     field = nt.get_field(field_name)
     n = 1 << log_n

@@ -115,6 +115,39 @@ def main():
     timeit("moveaxis relayout", lambda v: jnp.moveaxis(
         v.reshape(W, m, B), 2, 1).reshape(W, m, B), xt)
 
+    # 6b. mxu_chunked level attribution: the production path's per-level
+    # pipeline is pallas_base -> twiddle mont_mul -> swapaxes; time each
+    # piece on level-1 shapes (data-sized twiddle passed as a loop-carried
+    # arg, never a closed-over constant)
+    mb = mxu.BASE
+    xb = x.reshape(W, mb, n // mb)
+    Ab = mxu._base_matrix(field, mb, False)
+
+    def timeit_arg(name, fn, xv, arg, chain=32, reps=3):
+        looped = jax.jit(lambda c: jax.lax.fori_loop(
+            0, chain, lambda i, z: (fn(z[0], z[1]), z[1]), c))
+        y = looped((xv, arg))
+        _sync(y)
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.time()
+            _sync(looped((xv, arg)))
+            best = min(best, (time.time() - t0 - _floor[0]) / chain)
+        print(f"{name:38s} {best*1e3:9.3f} ms")
+        return best
+
+    timeit_arg(f"pallas base{mb} (digit+MXU+reduce)",
+               lambda v, a: mxu._base_ntt_pallas(v, field, False, {mb: a}),
+               xb, Ab)
+    from ntt_tpu.transforms.core import host_power_matrix
+    Tb = jnp.asarray(host_power_matrix(
+        field, field.root_of_unity(n), mb, n // mb))
+    timeit_arg("twiddle mont_mul [W,32,n/32]",
+               lambda v, t: limbs.mont_mul(v, t, field), xb, Tb)
+    timeit("swapaxes(1,2) roundtrip",
+           lambda v: jnp.swapaxes(
+               jnp.swapaxes(v, 1, 2) + np.uint32(1), 1, 2), xb)
+
     # 7. full transforms (aux passed as args — no constant embedding)
     from ntt_tpu.api import get_runner
     for algo in ("mxu", "fourstep", "pallas", "mxu_pallas"):
