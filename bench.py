@@ -27,24 +27,28 @@ import time
 import numpy as np
 
 
-def _roofline_butterflies_per_sec(field) -> float:
-    """Speed-of-light limb-op model: a radix-2 butterfly needs at least one
-    modular product (one digit-convolution a*b plus one Montgomery
-    reduction m*p) however the digits are planned.
+def _roofline_butterflies_per_sec(field, log_n: int, mac_rate: float,
+                                  hbm_bps: float) -> float:
+    """Speed-of-light model = min(compute roof, memory roof), both from
+    SAME-SESSION measurements (the tile is time-shared: stale constants
+    miscalibrate by >10x in either direction; round 1's fixed 6e12 MAC/s
+    was exceeded by the round-2 NTT itself).
 
-    The multiply rate is the scarce resource, and the fastest multiply
-    engine on the chip is the MXU: with 8-bit digit planes, a modular
-    product needs >= 2*(mont_bits/8)^2 digit MACs (a*b plus the Montgomery
-    reduction m*p). The MAC rate defaults to the int8 matmul rate measured
-    on this benching tile with tools/microbench.py (6.0e12 MAC/s — ~3% of
-    public v5e spec; the tile is heavily throttled, so the roofline is
-    calibrated to the silicon actually underneath; override with
-    BENCH_MAC_RATE).
+    - Compute roof: a radix-2 butterfly needs one modular product =
+      2*(mont_bits/8)^2 + 4*(mont_bits/8) int8 digit MACs (a*b plus the
+      Montgomery reduction m*p) on the MXU at the measured matmul rate.
+    - Memory roof: a transform must stream the data HBM->chip->HBM at
+      least ONCE (2*W*4*n bytes for n*log_n/2 butterflies) at the
+      measured stream bandwidth — the binding wall at VMEM-exceeding
+      sizes (measured: the production path sits within ~2x of its
+      per-level pass bound).
     """
     d8 = field.mont_bits // 8
     macs_per_butterfly = 2 * d8 * d8 + 4 * d8
-    mac_rate = float(os.environ.get("BENCH_MAC_RATE", "6.0e12"))
-    return mac_rate / macs_per_butterfly
+    mac_roof = mac_rate / macs_per_butterfly
+    bytes_per_butterfly = (2 * field.n_words * 4) / (log_n / 2)
+    hbm_roof = hbm_bps / bytes_per_butterfly
+    return min(mac_roof, hbm_roof)
 
 
 def main() -> None:
@@ -80,24 +84,22 @@ def main() -> None:
     # On tunneled backends both block_until_ready and dependent-call
     # chaining have been observed to return before remote execution
     # finishes; an in-graph loop + host fetch is the only honest clock.
-    # The axon tunnel costs ~300-500ms per dispatch with ±5% jitter, so
-    # short bursts are unmeasurable (work << jitter). The headline is the
-    # SUSTAINED rate at chain 64 (~1s continuous work per call): stable,
-    # reproducible, and what production serving would see. NOTE the tile is
-    # power-capped: short bursts run up to ~9x faster (1.7ms vs 15ms/iter
-    # at 2^18) — see docs/DESIGN.md. aux (twiddle tables, conv matrices)
-    # is passed as an argument — closing over it would embed MB-scale
-    # constants.
-    chain = int(os.environ.get("BENCH_CHAIN", "2" if smoke else "64"))
-
-    looped = jax.jit(lambda v, aux: jax.lax.fori_loop(
-        0, chain, lambda i, z: run(z, aux), v))
+    # The axon tunnel costs ~300-500ms per dispatch with ±5-20ms jitter,
+    # so per-call in-graph work must DWARF the jitter: the chain length is
+    # AUTO-SCALED from a probe so each timed call does >= ~1.5s of
+    # sustained work (a fixed chain=64 was fine at 15ms/iter but went
+    # under the jitter once the transform hit 0.3ms/iter). BENCH_CHAIN
+    # overrides. The headline is the sustained median — what production
+    # serving would see on this power-capped, time-shared tile. aux
+    # (twiddle tables, conv matrices) is passed as an argument — closing
+    # over it would embed MB-scale constants.
+    target_s = 0.3 if smoke else 1.5
 
     def sync1(y):
         np.asarray(jax.jit(lambda v: v.ravel()[:1])(y))
 
     # measure the fixed dispatch round-trip (tunnel latency); the floor
-    # jitters ±5%, so both floor and call times use MEDIANS over enough
+    # jitters, so both floor and call times use MEDIANS over enough
     # samples (min-of-few under-subtracts and inflates throughput)
     tiny = jax.jit(lambda v: v + np.uint32(1))
     sync1(tiny(x))
@@ -108,10 +110,48 @@ def main() -> None:
         floor_samples.append(time.time() - t0)
     floor = float(np.median(floor_samples))
 
-    t_compile0 = time.time()
-    y = looped(x, aux)
-    sync1(y)
-    compile_s = time.time() - t_compile0
+    def make_looped(c):
+        return jax.jit(lambda v, aux: jax.lax.fori_loop(
+            0, c, lambda i, z: run(z, aux), v))
+
+    # Refine the chain until each timed call does ~target_s of work. One
+    # probe is NOT enough: a short burst runs up to ~10x faster than the
+    # power-capped sustained rate, so a burst-derived chain overshoots to
+    # ~30s calls that throttle even harder. Iterate to a fixpoint: the
+    # final chain is measured at (roughly) its own run length.
+    def refine_chain(make, args, start):
+        # converge on CALL time (median of 2, 20ms noise floor): per-iter
+        # estimates break down when a fast tile returns calls at the
+        # dispatch floor
+        c = start
+        looped = make(c)
+        t_c0 = time.time()
+        sync1(looped(*args))
+        compile_first = time.time() - t_c0
+        for _ in range(6):
+            samples = []
+            for _ in range(2):
+                t0 = time.time()
+                sync1(looped(*args))
+                samples.append(time.time() - t0 - floor)
+            t_call = max(float(np.median(samples)), 0.0)
+            if 0.5 * target_s <= t_call <= 3 * target_s:
+                break
+            grow = target_s / max(t_call, 0.02)
+            c = int(min(16384, max(8, c * grow)))
+            looped = make(c)
+            sync1(looped(*args))
+        return looped, c, compile_first
+
+    env_chain = os.environ.get("BENCH_CHAIN")
+    if env_chain:
+        chain = int(env_chain)
+        looped = make_looped(chain)
+        t_c0 = time.time()
+        sync1(looped(x, aux))
+        compile_s = time.time() - t_c0
+    else:
+        looped, chain, compile_s = refine_chain(make_looped, (x, aux), 16)
 
     reps = max(reps, 9)
     totals = []
@@ -122,6 +162,59 @@ def main() -> None:
         totals.append(time.time() - t0)
     best = max(float(np.median(totals)) - floor, 1e-9) / chain
     times = [(t - floor) / chain for t in totals]
+
+    # same-session int8 MAC-rate measurement for the roofline denominator
+    mac_env = os.environ.get("BENCH_MAC_RATE")
+    if mac_env:
+        mac_rate = float(mac_env)
+    else:
+        import jax.numpy as jnp
+        k = 1024 if smoke else 2048
+        a8 = jnp.ones((k, k), jnp.int8)
+
+        def mm_loop(c):
+            return jax.jit(lambda v: jax.lax.fori_loop(
+                0, c, lambda i, z: jax.lax.dot_general(
+                    z, z, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.int8),
+                v))
+
+        mml, cmm, _ = refine_chain(mm_loop, (a8,), 8)
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            sync1(mml(a8))
+            ts.append((time.time() - t0 - floor) / cmm)
+        mac_rate = k ** 3 / max(float(np.median(ts)), 1e-9)
+        # sanity cap at the public v5e int8 spec (197e12 MAC/s): the
+        # remote tunnel occasionally yields impossible readings; a capped
+        # denominator only ever UNDERSTATES vs_baseline
+        mac_rate = min(mac_rate, 197e12)
+
+    # same-session HBM stream bandwidth (read+write of the data array per
+    # chained iteration) for the memory roof
+    bw_env = os.environ.get("BENCH_HBM_BPS")
+    if bw_env:
+        hbm_bps = float(bw_env)
+    else:
+        import jax.numpy as jnp
+        # 32MB stream buffer — must EXCEED VMEM (16MB) or the chained
+        # elementwise loop stays resident and measures VMEM bandwidth
+        xs = jax.jit(lambda: jnp.zeros((8, 1 << 20), jnp.uint32))()
+        xs.block_until_ready()
+
+        def st_loop(c):
+            return jax.jit(lambda v: jax.lax.fori_loop(
+                0, c, lambda i, z: z + np.uint32(1), v))
+
+        stl, cst, _ = refine_chain(st_loop, (xs,), 32)
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            sync1(stl(xs))
+            ts.append((time.time() - t0 - floor) / cst)
+        hbm_bps = 2 * xs.size * 4 / max(float(np.median(ts)), 1e-9)
+        hbm_bps = min(hbm_bps, 819e9)  # public v5e HBM spec cap
 
     # optional profiler capture (BENCH_PROFILE=<dir>); works on local
     # backends, best-effort through the remote tunnel
@@ -137,12 +230,15 @@ def main() -> None:
 
     butterflies = n * log_n / 2
     bps = butterflies / best
-    roofline = _roofline_butterflies_per_sec(field)
+    roofline = _roofline_butterflies_per_sec(field, log_n, mac_rate,
+                                             hbm_bps)
 
     print(
-        f"# field={field.name} n=2^{log_n} algo={algo} "
+        f"# field={field.name} n=2^{log_n} algo={algo} chain={chain} "
         f"compile+first={compile_s:.1f}s floor={floor*1e3:.0f}ms "
-        f"times={['%.4f' % t for t in times]} "
+        f"mac_rate={mac_rate/1e12:.1f}TMAC/s "
+        f"hbm={hbm_bps/1e9:.0f}GB/s "
+        f"times={['%.5f' % t for t in times]} "
         f"backend={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )

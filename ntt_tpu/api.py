@@ -99,6 +99,14 @@ def _prep_mxu_chunked(field, n, inverse):
             "mats": _mxu.base_mats(field, n, inverse, residency=True)}
 
 
+def _prep_mxu_sub(field, n, inverse):
+    return {"tws": _tw_tables(
+                field, n, inverse,
+                _fourstep.twiddle_requests(
+                    n, _mxu.effective_subbase(field), field)),
+            "mats": _mxu.sub_mats(field, n, inverse)}
+
+
 #: algorithm -> (fn(x, field, inverse, aux), prepare(field, n, inverse) ->
 #: aux pytree of device arrays). ALL data-sized tables (decomposition
 #: twiddles, base conv matrices) live in aux and enter jit as arguments —
@@ -135,6 +143,10 @@ ALGORITHMS = {
         x, field, inverse, iter(aux["tws"]), aux["mats"],
         pre_col=aux.get("coset_col")),
         _prep_mxu_chunked),
+    "mxu_sub": (lambda x, field, inverse, aux: _mxu.ntt_mxu_sub(
+        x, field, inverse, iter(aux["tws"]), aux["mats"],
+        pre_col=aux.get("coset_col")),
+        _prep_mxu_sub),
 }
 
 _compiled_cache: dict = {}
@@ -145,18 +157,20 @@ def resolve_algorithm(algorithm: str, field: Field, n: int) -> str:
     on v5e (docs/DESIGN.md):
 
     - 256-bit fields: ``mxu_chunked`` at EVERY size — round 2 measured it
-      8.5x faster than the VPU ladder at 2^18 BLS sustained (1.77 vs
-      15.1 ms/iter) and 2-5x at 2^14/2^16/2^22. Round 1's 'fourstep when
-      resident' rule was tuned on burst numbers; under the sustained
-      protocol the ladder's advantage evaporates (the tile is power-
-      capped, and the MXU path does ~6x less VPU work per element).
-    - narrow fields (small Proth, Goldilocks): ``fourstep`` — the VPU
-      ladder is cheap per element and large transforms are HBM-pass-bound
-      (2^26 small-proth: 158ms via fourstep).
+      3.5-8.5x faster than the VPU ladder at 2^18 BLS sustained and 2-5x
+      at 2^14/2^16/2^22. Round 1's 'fourstep when resident' rule was
+      tuned on burst numbers; under the sustained protocol the ladder's
+      advantage evaporates (the tile is power-capped, and the MXU path
+      does ~6x less VPU work per element). (``mxu_sub`` measures
+      identically here: the Mosaic compile helper caps 16-half multi-
+      level kernels at the same single-level base.)
+    - narrow fields (small Proth, Goldilocks): ``mxu_sub`` — whole
+      512-point sub-NTTs per Pallas kernel: 3.8x over fourstep at
+      2^26 small-proth (40.4 vs 155 ms) and ~4x at 2^22.
     """
     if algorithm != "auto":
         return algorithm
-    return "mxu_chunked" if field.n_words >= 8 else "fourstep"
+    return "mxu_chunked" if field.n_words >= 8 else "mxu_sub"
 
 
 def _first_level(algorithm: str, field: Field, n: int):
@@ -167,7 +181,8 @@ def _first_level(algorithm: str, field: Field, n: int):
     base_max = {"fourstep": _fourstep.BASE_MAX,
                 "fourstep_st": _fourstep.BASE_MAX,
                 "pallas": _fourstep.PALLAS_BASE_MAX,
-                "mxu_chunked": _mxu.BASE}.get(algorithm)
+                "mxu_chunked": _mxu.BASE,
+                "mxu_sub": _mxu.effective_subbase(field)}.get(algorithm)
     if base_max is None or n <= base_max:
         return None
     n1, n2 = _fourstep._split(n, base_max, field)

@@ -107,6 +107,42 @@ def ntt(data: list, field: Field, inverse: bool = False) -> list:
     return _arr_to_ints(out)
 
 
+def ntt_np(data: np.ndarray, field: Field, inverse: bool = False
+           ) -> np.ndarray:
+    """Golden NTT on np.uint64[n, 4] limb rows (no Python-int round trip —
+    the fast exact oracle for data-sized verification at 2^20+)."""
+    lib = _load()
+    assert lib is not None, "hostfield library unavailable"
+    inp = np.ascontiguousarray(data, dtype=np.uint64)
+    n = inp.shape[0]
+    out = np.empty_like(inp)
+    p = _fe(field.p)
+    g = _fe(field.generator)
+    lib.hf_ntt(_p64(p), _p64(inp), n, _p64(g), 1 if inverse else 0,
+               _p64(out))
+    return out
+
+
+def mul_mod_vec_np(a: np.ndarray, b: np.ndarray, field: Field
+                   ) -> np.ndarray:
+    """Elementwise a*b mod p on np.uint64[n, 4] limb rows."""
+    lib = _load()
+    assert lib is not None, "hostfield library unavailable"
+    aa = np.ascontiguousarray(a, dtype=np.uint64)
+    ba = np.ascontiguousarray(b, dtype=np.uint64)
+    out = np.empty_like(aa)
+    p = _fe(field.p)
+    lib.hf_mul_mod_vec(_p64(p), _p64(aa), _p64(ba), aa.shape[0], _p64(out))
+    return out
+
+
+def ramp_np(n: int) -> np.ndarray:
+    """The de-facto reference vector 0..n-1 as np.uint64[n, 4] limb rows."""
+    out = np.zeros((n, 4), dtype=np.uint64)
+    out[:, 0] = np.arange(n, dtype=np.uint64)
+    return out
+
+
 def powers_np(base: int, count: int, field: Field,
               mont_form: bool = False) -> np.ndarray:
     """Powers base^0..base^{count-1} as word planes np.uint32[W, count] —

@@ -110,13 +110,118 @@ def _build(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
     return call
 
 
+def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
+                n_inner):
+    """Whole multi-level sub-NTT per batch tile: the peel-BASE recursion
+    of transforms.mxu.ntt_axis_mxu traced INSIDE the kernel on VMEM
+    values (single arithmetic surface), plus the optional decomposition
+    twiddle — one HBM pass for what the level-at-a-time pipeline does in
+    log_BASE(m) passes. This is the TPU realization of the reference
+    SSIP stage kernel: a full strided sub-FFT per tile with the
+    decomposition twiddle applied before the scatter-back
+    (/root/reference/src/GZKP-NTT.cu:1297-1357)."""
+    from ..transforms import mxu as _mxu
+    x_ref = refs[0]
+    mat_refs = refs[1:1 + len(sizes)]
+    tw_refs = refs[1 + len(sizes):1 + len(sizes) + n_inner]
+    t3_ref = refs[1 + len(sizes) + n_inner] if has_tw else None
+    o_ref = refs[-1]
+    mats = {sz: r[:] for sz, r in zip(sizes, mat_refs)}
+    tws = iter([r[:] for r in tw_refs])
+    y = _mxu.ntt_axis_mxu(x_ref[:], field, inverse=inverse, tws=tws,
+                          mats=mats)
+    if t3_ref is not None:
+        y = limbs.mont_mul(y, t3_ref[:], field)
+    o_ref[:] = jnp.swapaxes(y, 1, 2) if transpose_out else y
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
+               transpose_out: bool, inverse: bool, interpret: bool):
+    from ..transforms import mxu as _mxu
+    from ..transforms.core import host_power_matrix
+    field = get_field(field_name)
+    W = field.n_words
+    D = digits.n_digits(field)
+    E = 2 * D - 1
+    sizes = tuple(sorted(sz for sz in _mxu.base_sizes(m) if sz > 1))
+    # host numpy ONLY in this lru-cached scope: converting to jnp here
+    # would capture a constant-tracer from whichever trace builds first
+    # and leak it into later traces (same footgun as mxu._matrix_cache)
+    inner_tw = []
+    for (mm, n1, n2) in _mxu.twiddle_requests(m):
+        w = (field.inv_root_of_unity(mm) if inverse
+             else field.root_of_unity(mm))
+        inner_tw.append(host_power_matrix(field, w, n1, n2))
+
+    kern = functools.partial(
+        _kernel_sub, field=field, m=m, inverse=inverse, has_tw=has_tw,
+        transpose_out=transpose_out, sizes=sizes, n_inner=len(inner_tw))
+
+    in_specs = [pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM)]
+    for sz in sizes:
+        in_specs.append(pl.BlockSpec((E * sz, D * sz), lambda j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for t in inner_tw:
+        in_specs.append(pl.BlockSpec(t.shape, lambda j: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    if has_tw:
+        in_specs.append(pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                                     memory_space=pltpu.VMEM))
+    if transpose_out:
+        out_spec = pl.BlockSpec((W, Bt, m), lambda j: (0, j, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (W, B, m)
+    else:
+        out_spec = pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = (W, m, B)
+
+    def call(x3, mats, T3=None):
+        args = (x3,) + tuple(mats[sz] for sz in sizes) \
+            + tuple(jnp.asarray(t) for t in inner_tw)
+        if has_tw:
+            args += (T3,)
+        return pl.pallas_call(
+            kern,
+            grid=(B // Bt,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
+            interpret=interpret,
+        )(*args)
+
+    return call
+
+
+def fused_subntt(x3, field: Field, inverse: bool, mats, T3=None,
+                 transpose_out: bool = False,
+                 batch_tile: int | None = None):
+    """Multi-level m-point sub-NTT (m up to ~512 for 256-bit fields) as
+    ONE Pallas kernel over uint32[W, m, B], with the optional full-
+    resolution decomposition twiddle T3 [W, m, B] applied in-kernel."""
+    W, m, B = x3.shape
+    if m == 1:
+        return jnp.swapaxes(x3, 1, 2) if transpose_out else x3
+    from .mxu_ntt import vmem_batch_tile
+    Bt = batch_tile or vmem_batch_tile(field, m, B, has_tw=T3 is not None,
+                                       multi=True)
+    assert B % Bt == 0
+    interpret = jax.default_backend() != "tpu"
+    call = _build_sub(field.name, m, B, Bt, T3 is not None, transpose_out,
+                      inverse, interpret)
+    return call(x3, mats, T3)
+
+
 def fused_level(x3, field: Field, A, T3=None, transpose_out: bool = True,
                 batch_tile: int | None = None):
     """One fused four-step level on uint32[W, m, B]: base matmul (conv
     matrix A) + optional full-resolution twiddle T3 [W, m, B] + optional
     transposed store -> uint32[W, B, m] (else [W, m, B])."""
     W, m, B = x3.shape
-    Bt = batch_tile or min(DEFAULT_BATCH_TILE, B)
+    from .mxu_ntt import vmem_batch_tile
+    Bt = batch_tile or vmem_batch_tile(field, m, B, has_tw=T3 is not None)
     assert B % Bt == 0
     interpret = jax.default_backend() != "tpu"
     call = _build(field.name, m, B, Bt, T3 is not None, transpose_out,

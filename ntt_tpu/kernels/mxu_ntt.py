@@ -38,6 +38,34 @@ import os
 
 DEFAULT_BATCH_TILE = int(os.environ.get("NTT_MXU_BT", "256"))
 
+#: scoped-VMEM budget the tile solver fills (Mosaic limit 16MB; leave
+#: headroom for Mosaic's own temporaries)
+VMEM_BUDGET = 14 << 20
+
+
+def vmem_batch_tile(field: Field, m: int, B: int, has_tw: bool = False,
+                    multi: bool = False) -> int:
+    """Largest power-of-two batch tile whose kernel working set (resident
+    conv matrices + int32 Z + digit planes + double-buffered word tiles)
+    fits the VMEM budget — makes m=64 bases (and the multi-level
+    sub-NTT kernels, ``multi=True``) usable for 256-bit fields."""
+    D = digits.n_digits(field)
+    E = 2 * D - 1
+    W = field.n_words
+    if multi:
+        # matrices are the small per-level bases (<= BASE); the Z plane
+        # at any inner level is E*BASE*(m/BASE)*Bt*4 = E*m*Bt*4
+        from ..transforms.mxu import base_sizes
+        mat = sum(E * sz * D * sz for sz in base_sizes(m) if sz > 1)
+    else:
+        mat = E * m * D * m
+    streams = 2 + (1 if has_tw else 0)  # in + out (+ twiddle), x2 buffered
+    per_bt = E * m * 4 + D * m + streams * 2 * W * m * 4
+    bt = min(DEFAULT_BATCH_TILE, B)
+    while bt > 8 and mat + bt * per_bt > VMEM_BUDGET:
+        bt //= 2
+    return max(1, bt)
+
 
 def _kernel(x_ref, a_ref, o_ref, *, field: Field, m: int, zmax_bits: int):
     x = x_ref[:]                                   # [W, m, Bt]
@@ -93,7 +121,7 @@ def base_ntt_mxu_pallas(x, field: Field, inverse: bool,
     if A is None:
         from ..transforms.mxu import _base_matrix
         A = _base_matrix(field, m, inverse)
-    Bt = batch_tile or min(DEFAULT_BATCH_TILE, B)
+    Bt = batch_tile or vmem_batch_tile(field, m, B)
     assert B % Bt == 0, f"batch {B} must be divisible by tile {Bt}"
     interpret = jax.default_backend() != "tpu"
     return _build(field.name, m, Bt, interpret)(x, A)

@@ -109,6 +109,41 @@ def dit_stage(x, s: int, tw, field: Field):
     return jnp.stack([lo, hi], axis=2).reshape(x.shape)
 
 
+def dit_stage4(x, s: int, tw1, tw2, field: Field):
+    """TWO radix-2 DIT stages (strides s and 2s) fused into one reshape
+    round — the ladder analog of the reference's radix-2^deg stage
+    batching (deg stages per launch, GZKP-NTT.cu:523). Montgomery-product
+    count is identical to two radix-2 stages (radix-4 saves no modular
+    muls in an NTT: the ω_4 factor is a full field constant, unlike the
+    free i of a complex FFT); what it halves is the number of
+    stack/reshape relayout rounds.
+
+    tw1: [W, s] stage-s twiddles ω_{2s}^j or None (trivial, s == 1);
+    tw2: [W, 2s] stage-2s twiddles ω_{4s}^j.
+    """
+    W, m = x.shape[0], x.shape[1]
+    rest = x.shape[2:]
+    g = m // (4 * s)
+    xr = x.reshape((W, g, 4, s) + rest)
+    x0, x1, x2, x3 = xr[:, :, 0], xr[:, :, 1], xr[:, :, 2], xr[:, :, 3]
+    if tw1 is not None:
+        b1 = _bcast_tw(tw1, x0.ndim, 1)
+        x1 = limbs.mont_mul(x1, b1, field)
+        x3 = limbs.mont_mul(x3, b1, field)
+    t0 = limbs.add_mod(x0, x1, field)
+    t1 = limbs.sub_mod(x0, x1, field)
+    t2 = limbs.add_mod(x2, x3, field)
+    t3 = limbs.sub_mod(x2, x3, field)
+    if s > 1:  # ω_{4s}^j over j < s; trivial (=1) when s == 1
+        t2 = limbs.mont_mul(t2, _bcast_tw(tw2[:, :s], t2.ndim, 1), field)
+    t3 = limbs.mont_mul(t3, _bcast_tw(tw2[:, s:], t3.ndim, 1), field)
+    y0 = limbs.add_mod(t0, t2, field)
+    y2 = limbs.sub_mod(t0, t2, field)
+    y1 = limbs.add_mod(t1, t3, field)
+    y3 = limbs.sub_mod(t1, t3, field)
+    return jnp.stack([y0, y1, y2, y3], axis=2).reshape(x.shape)
+
+
 def bit_reverse_axis1(x):
     """Bit-reverse permute along axis 1 (the vectorized analog of the
     reference's ``rearrange`` kernel, GZKP-NTT.cu:50-57)."""
@@ -149,6 +184,11 @@ def ntt_along_axis_stockham(x, field: Field, inverse: bool = False):
     return z.reshape((W, m) + rest)         # flat (k2, k1, batch) = X[k2*2+k1]
 
 
+#: fuse DIT stage pairs into radix-4 rounds (halves reshape relayouts;
+#: same Montgomery-product count) — A/B knob, read at trace time
+RADIX4 = __import__("os").environ.get("NTT_RADIX4", "0") == "1"
+
+
 def ntt_along_axis(x, field: Field, inverse: bool = False):
     """Full natural-order NTT along axis 1 of uint32[W, m, *batch]
     (Montgomery form in/out, no 1/n scaling)."""
@@ -160,9 +200,16 @@ def ntt_along_axis(x, field: Field, inverse: bool = False):
     s = 1
     while s < m:
         step = (m // 2) // s
-        tw = None if s == 1 else jnp.asarray(master[:, ::step][:, :s])
-        x = dit_stage(x, s, tw, field)
-        s <<= 1
+        if RADIX4 and 4 * s <= m:
+            tw1 = None if s == 1 else jnp.asarray(master[:, ::step][:, :s])
+            step2 = (m // 2) // (2 * s)
+            tw2 = jnp.asarray(master[:, ::step2][:, : 2 * s])
+            x = dit_stage4(x, s, tw1, tw2, field)
+            s <<= 2
+        else:
+            tw = None if s == 1 else jnp.asarray(master[:, ::step][:, :s])
+            x = dit_stage(x, s, tw, field)
+            s <<= 1
     return x
 
 

@@ -88,7 +88,8 @@ def twiddle_requests(m: int, base_max: int = BASE_MAX,
 
 
 def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
-                      base_max: int = BASE_MAX, tws=None, pre_col=None):
+                      base_max: int = BASE_MAX, tws=None, pre_col=None,
+                      tw_base_fn=None):
     """Recursive four-step NTT along axis 1 of uint32[W, m, *batch] with a
     pluggable base transform (``base_fn(x[W, m, *b], field, inverse)``).
 
@@ -132,12 +133,15 @@ def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
     A = x.reshape((W, n1, n2) + rest)
     T = next(tws) if tws is not None else power_matrix(
         field, omega, n1, n2)                                    # ω^{k1·i2}
-    Ct = _fused_level(A, T, field, inverse, col_fn, pre_col)     # [W,i2,k1,..]
-    D = ntt_axis_fourstep(Ct, field, inverse, base_fn, base_max, tws)
+    Ct = _fused_level(A, T, field, inverse, col_fn, pre_col,
+                      tw_base_fn if n1 <= base_max else None)    # [W,i2,k1,..]
+    D = ntt_axis_fourstep(Ct, field, inverse, base_fn, base_max, tws,
+                          tw_base_fn=tw_base_fn)
     return D.reshape((W, m) + rest)                              # X[k2*n1+k1]
 
 
-def _fused_level(x4, T, field: Field, inverse: bool, base_fn, pre_col=None):
+def _fused_level(x4, T, field: Field, inverse: bool, base_fn, pre_col=None,
+                 tw_base_fn=None):
     """One four-step level, chunked to stay VMEM-resident: column ladder +
     decomposition twiddle + transposed store per chunk, ONE HBM read and
     write of the data (the XLA analog of the fused Pallas level kernels).
@@ -179,11 +183,22 @@ def _fused_level(x4, T, field: Field, inverse: bool, base_fn, pre_col=None):
         yf = limbs.mont_mul(yf, TS[:, :, None, :, None], field)
         return yf.reshape(W, n1, n2c, Rc)
 
+    # tw_base_fn(c3 [W, n1, B], t3 [W, n1, B]) — base transform WITH the
+    # decomposition twiddle applied inside the same kernel (one HBM pass:
+    # the separate twiddle mont_mul pass measured HBM-bound, ~2.2ms/level
+    # at 2^18 BLS). Used when the twiddle is full-resolution per batch
+    # column (R == 1, not factored).
+    use_ktw = (tw_base_fn is not None and R == 1 and not factored
+               and pre_col is None)
+
     def level_chunk(c, tj):
         if pc4 is not None:
             c = limbs.mont_mul(c, pc4, field)
-        y = base_fn(c, field, inverse)
-        y = apply_tw(y, tj)
+        if use_ktw:
+            y = tw_base_fn(c[:, :, :, 0], tj[:, :, :, 0])[:, :, :, None]
+        else:
+            y = base_fn(c, field, inverse)
+            y = apply_tw(y, tj)
         return jnp.swapaxes(y, 1, 2)          # [W, n2c, n1, Rc]
 
     cap = R if R > 1 else ((n2 // S2) if factored else n2)

@@ -33,10 +33,12 @@ from ..fields import Field
 from .core import power_matrix
 
 # Radix-32 base case: the conv matrix [(2D-1)*m, D*m] must fit VMEM next to
-# the Z tile (v5e scoped VMEM = 16MB; m=64 needs an 11MB matrix and OOMs),
-# and total MXU MACs scale with sum of per-level m — 32 roughly halves them
-# vs 64 at the cost of one extra level.
-BASE_LOG = 5
+# the Z tile (v5e scoped VMEM = 16MB; m=64 needs an 11MB matrix at default
+# batch tile — usable only with the VMEM-aware tile shrink in
+# kernels/mxu_ntt), and total MXU MACs scale with sum of per-level m.
+# NTT_MXU_BASE=64 trades one decomposition-twiddle level (a VPU/HBM pass)
+# for 2x the MXU MACs — measure per size.
+BASE_LOG = int(__import__("os").environ.get("NTT_MXU_BASE_LOG", "5"))
 BASE = 1 << BASE_LOG
 
 _matrix_cache: dict = {}
@@ -158,6 +160,89 @@ def ntt_mxu_pallas(x, field: Field, inverse: bool = False, tws=None,
                         mats=mats)
 
 
+#: apply the top level's decomposition twiddle INSIDE the base kernel
+#: (kernels/mxu_level.py) — saves the separate HBM-bound twiddle pass
+FUSE_TW = __import__("os").environ.get("NTT_FUSE_TW", "1") == "1"
+
+#: peel size for the multi-level sub-NTT driver (ntt_mxu_sub): a whole
+#: SUBBASE-point transform runs in ONE kernel (kernels/mxu_level.py
+#: fused_subntt), so n = SUBBASE^2 needs just TWO HBM passes — the
+#: two-stage structure of the reference SSIP (GZKP-NTT.cu:1452-1558).
+#: Per-field ceiling: Mosaic needs a 128-lane batch tile, so the kernel
+#: working set (dominated by the int32 Z plane, E*m*128*4) caps m —
+#: see effective_subbase.
+SUBBASE_LOG = int(__import__("os").environ.get("NTT_MXU_SUBBASE_LOG", "9"))
+SUBBASE = 1 << SUBBASE_LOG
+
+_subbase_cache: dict = {}
+
+
+def effective_subbase(field: Field) -> int:
+    """Largest peel size <= SUBBASE whose multi-level kernel (a) fits
+    the VMEM budget at the Mosaic-required 128-lane batch tile and (b)
+    stays within the Mosaic compile helper's capacity: the helper dies
+    on multi-level kernels with 16 half-limbs at ANY m >= 64 (measured
+    on TPU — the same failure mode as round 1's m=512 ladder), so
+    256-bit fields cap at the single-level BASE and mxu_sub degenerates
+    to mxu_chunked there; narrow fields get the full one-kernel-per-
+    SUBBASE-transform fusion (SMALL m=512 verified compiling+bit-exact
+    on the real chip)."""
+    got = _subbase_cache.get((field.name, SUBBASE))
+    if got is None:
+        from ..kernels.mxu_ntt import vmem_batch_tile
+        s = SUBBASE if field.n_halves <= 8 else BASE
+        while s > BASE and vmem_batch_tile(
+                field, s, 1 << 30, has_tw=True, multi=True) < 128:
+            s //= 2
+        got = _subbase_cache[(field.name, SUBBASE)] = s
+    return got
+
+
+def sub_base_sizes(n: int, sub: int) -> set:
+    """Every kernel transform length the sub-peel recursion hits (outer
+    sizes), expanded to the inner matmul base sizes."""
+    outer = set()
+    m = n
+    while m > sub:
+        outer.add(sub)
+        m //= sub
+    outer.add(m)
+    inner = set()
+    for s in outer:
+        inner |= base_sizes(s)
+    return inner
+
+
+def sub_mats(field: Field, n: int, inverse: bool) -> dict:
+    """{m: device int8 conv matrix} for the multi-level sub-NTT driver."""
+    return {m: _base_matrix(field, m, inverse)
+            for m in sub_base_sizes(n, effective_subbase(field)) if m > 1}
+
+
+def ntt_mxu_sub(x, field: Field, inverse: bool = False, tws=None,
+                mats=None, pre_col=None):
+    """Four-step with SUBBASE-point single-kernel sub-NTTs: the minimum-
+    HBM-pass production path (n = 2^18 runs in two passes; the level-at-
+    a-time mxu_chunked takes ~8)."""
+    from ..kernels.mxu_level import fused_subntt
+    from .fourstep import ntt_axis_fourstep
+
+    def base(c, f, inv):
+        W, m = c.shape[0], c.shape[1]
+        rest = c.shape[2:]
+        cf = c.reshape(W, m, -1) if rest else c.reshape(W, m, 1)
+        y = fused_subntt(cf, f, inv, mats, None, transpose_out=False)
+        return y.reshape(c.shape)
+
+    def tw_base(c3, t3):
+        return fused_subntt(c3, field, inverse, mats, t3,
+                            transpose_out=False)
+
+    return ntt_axis_fourstep(x, field, inverse, base,
+                             base_max=effective_subbase(field),
+                             tws=tws, pre_col=pre_col, tw_base_fn=tw_base)
+
+
 def ntt_mxu_chunked(x, field: Field, inverse: bool = False, tws=None,
                     mats=None, pre_col=None):
     """MXU digit-matmul base transforms driven by the CHUNKED four-step
@@ -169,8 +254,19 @@ def ntt_mxu_chunked(x, field: Field, inverse: bool = False, tws=None,
     def base(c, f, inv):
         return _base_ntt_pallas(c, f, inv, mats)
 
+    tw_base = None
+    if FUSE_TW and mats is not None:
+        from ..kernels.mxu_level import fused_level
+
+        def tw_base(c3, t3):
+            # c3/t3: [W, m, B]; one kernel: digits + MXU matmul +
+            # Montgomery reduce + twiddle mont_mul (no in-kernel
+            # transpose — the XLA relayout after it measured free)
+            return fused_level(c3, field, mats[c3.shape[1]], t3,
+                               transpose_out=False)
+
     return ntt_axis_fourstep(x, field, inverse, base, base_max=BASE,
-                             tws=tws, pre_col=pre_col)
+                             tws=tws, pre_col=pre_col, tw_base_fn=tw_base)
 
 
 def expanded_twiddles(field: Field, n: int, inverse: bool,

@@ -114,11 +114,12 @@ def test_mxu_chunked_and_auto():
     from ntt_tpu.api import resolve_algorithm
     assert resolve_algorithm("auto", nt.BLS12_381_FR, 1 << 22) == \
         "mxu_chunked"
-    # round 2: 256-bit fields take the MXU path at every size (sustained
-    # chain-64 shootouts, docs/DESIGN.md)
+    # round 2: 256-bit fields take the MXU path at every size; narrow
+    # fields the multi-level sub-NTT kernels (sustained shootouts,
+    # docs/DESIGN.md)
     assert resolve_algorithm("auto", nt.BLS12_381_FR, 1 << 16) == \
         "mxu_chunked"
-    assert resolve_algorithm("auto", nt.SMALL, 1 << 26) == "fourstep"
+    assert resolve_algorithm("auto", nt.SMALL, 1 << 26) == "mxu_sub"
 
 
 def test_mxu_fused_multi_level_relayout():
@@ -143,6 +144,30 @@ def test_mxu_chunked_bls_recursive():
     golden = oracle.ntt_golden(x, f)
     assert nt.to_ints(nt.ntt(nt.from_ints(x, f), f,
                              algorithm="mxu_chunked"), f) == golden
+
+
+def test_mxu_sub_multilevel():
+    """mxu_sub: whole multi-level sub-NTTs in ONE Pallas kernel
+    (fused_subntt). Narrow field exercises the real multi-level kernel
+    (sub=512, inner 32-peel + in-kernel relayouts); roundtrip + fused
+    coset; 256-bit fields cap at the single-level base (Mosaic compile
+    limit) and must still be bit-exact through the same driver."""
+    f, n = nt.SMALL, 1 << 11
+    x = oracle.ramp(n, f)
+    golden = oracle.ntt_golden(x, f)
+    assert nt.to_ints(nt.ntt(nt.from_ints(x, f), f,
+                             algorithm="mxu_sub"), f) == golden
+    rt = nt.to_ints(nt.intt(nt.from_ints(golden, f), f,
+                            algorithm="mxu_sub"), f)
+    assert rt == x
+    yc = nt.to_ints(nt.coset_ntt(nt.from_ints(x, f), f,
+                                 algorithm="mxu_sub"), f)
+    assert yc == oracle.coset_ntt_golden(x, f, f.generator)
+    fb, nb = nt.BLS12_381_FR, 1 << 8
+    xb = oracle.ramp(nb, fb)
+    assert nt.to_ints(nt.ntt(nt.from_ints(xb, fb), fb,
+                             algorithm="mxu_sub"), fb) == \
+        oracle.ntt_golden(xb, fb)
 
 
 def test_mxu_coset_lde():

@@ -102,6 +102,24 @@ def test_coset_fused_first_level():
     assert back == x
 
 
+@pytest.mark.parametrize("field,log_n", [("small-proth", 9),
+                                         ("small-proth", 6),
+                                         ("bls12-381-fr", 5)])
+def test_radix4_ladder(monkeypatch, field, log_n):
+    """The fused radix-4 DIT rounds (dit_stage4) must be bit-identical to
+    the radix-2 ladder — odd and even stage counts, narrow and 256-bit
+    fields."""
+    from ntt_tpu.transforms import core as _core
+    monkeypatch.setattr(_core, "RADIX4", True)
+    f = nt.get_field(field)
+    n = 1 << log_n
+    x = [(i * 29 + 5) % f.p for i in range(n)]
+    import jax
+    Xm = nt.to_mont(nt.from_ints(x, f), f)
+    y = jax.jit(lambda v: _core.ntt_along_axis(v, f))(Xm)
+    assert nt.to_ints(nt.from_mont(y, f), f) == oracle.ntt_golden(x, f)
+
+
 def test_factored_top_twiddle(monkeypatch):
     """Factorized top-level decomposition twiddle (TJ ⊗ TS, round 2):
     bit-exact through the unchunked, chunked, and fused-coset paths.

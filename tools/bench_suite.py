@@ -46,16 +46,37 @@ def _calibrate(x):
 
 
 def _time(run, aux, x, reps, chain):
-    looped = jax.jit(lambda v, a: jax.lax.fori_loop(
-        0, chain, lambda i, z: run(z, a), v))
-    y = looped(x, aux)
-    _sync1(y)
-    best = 1e9
-    for _ in range(reps):
+    """Floor-corrected chained timing; the chain is refined on CALL time
+    so each timed call does ~1.5s of in-graph work (see bench.py — fixed
+    short chains under-measure once per-iter time drops below the
+    tunnel's floor jitter)."""
+    target_s = 1.5
+
+    def make(c):
+        return jax.jit(lambda v, a: jax.lax.fori_loop(
+            0, c, lambda i, z: run(z, a), v))
+
+    looped = make(chain)
+    _sync1(looped(x, aux))
+    for _ in range(6):
+        samples = []
+        for _ in range(2):
+            t0 = time.time()
+            _sync1(looped(x, aux))
+            samples.append(time.time() - t0 - _floor[0])
+        t_call = max(float(np.median(samples)), 0.0)
+        if 0.5 * target_s <= t_call <= 3 * target_s:
+            break
+        chain = int(min(16384, max(4, chain * target_s /
+                                   max(t_call, 0.02))))
+        looped = make(chain)
+        _sync1(looped(x, aux))
+    ts = []
+    for _ in range(max(reps, 5)):
         t0 = time.time()
         _sync1(looped(x, aux))
-        best = min(best, max(time.time() - t0 - _floor[0], 1e-9) / chain)
-    return best
+        ts.append(max(time.time() - t0 - _floor[0], 1e-9) / chain)
+    return float(np.median(ts))
 
 
 def main():

@@ -29,34 +29,55 @@ def _sync(y):
 _floor = [0.0]  # measured dispatch round-trip (tunnel latency), subtracted
 
 
-def timeit(name, fn, x, chain=32, reps=3):
-    """Time fn per-iteration with the dispatch floor subtracted: the axon
-    tunnel costs ~300-500ms per call regardless of work, so the loop chain
-    must be long and the floor measured (see ``calibrate_floor``)."""
-    looped = jax.jit(lambda v: jax.lax.fori_loop(0, chain, lambda i, z: fn(z), v))
-    y = looped(x)
-    _sync(y)
-    best = 1e9
+#: target in-graph work per timed call: must dwarf the ±~100ms tunnel
+#: floor jitter or every cheap op measures as noise (negative values seen
+#: with fixed chain=32)
+_TARGET_S = 1.5
+
+
+def _measure(make_looped, args, probe_chain=32, reps=5):
+    """Two-phase: estimate per-iter with a probe chain, then re-time with
+    a chain sized for ~_TARGET_S of work; median over reps. ``args`` are
+    passed to the jitted loop as ARGUMENTS (closing over data-sized
+    arrays would embed them as constants — docs/DESIGN.md)."""
+    looped = make_looped(probe_chain)
+    _sync(looped(*args))  # compile + first
+    t0 = time.time()
+    _sync(looped(*args))
+    est = max((time.time() - t0 - _floor[0]) / probe_chain, 1e-6)
+    chain = int(min(8192, max(probe_chain, _TARGET_S / est)))
+    if chain != probe_chain:
+        looped = make_looped(chain)
+        _sync(looped(*args))
+    ts = []
     for _ in range(reps):
         t0 = time.time()
-        y = looped(x)
-        _sync(y)
-        best = min(best, (time.time() - t0 - _floor[0]) / chain)
-    print(f"{name:38s} {best*1e3:9.3f} ms")
-    return best
+        _sync(looped(*args))
+        ts.append((time.time() - t0 - _floor[0]) / chain)
+    return float(np.median(ts))
+
+
+def timeit(name, fn, x, chain=32, reps=5):
+    """Time fn per-iteration, floor-subtracted, with auto-scaled chain."""
+    per = _measure(lambda c: jax.jit(
+        lambda v: jax.lax.fori_loop(0, c, lambda i, z: fn(z), v)),
+        (x,), probe_chain=chain, reps=reps)
+    print(f"{name:38s} {per*1e3:9.3f} ms")
+    return per
 
 
 def calibrate_floor(x):
     tiny = jax.jit(lambda v: v + np.uint32(1))
     y = tiny(x)
     _sync(y)
-    best = 1e9
-    for _ in range(5):
+    samples = []
+    for _ in range(9):
         t0 = time.time()
         _sync(tiny(x))
-        best = min(best, time.time() - t0)
-    _floor[0] = best
-    print(f"# dispatch floor: {best*1e3:.1f} ms")
+        samples.append(time.time() - t0)
+    _floor[0] = float(np.median(samples))
+    print(f"# dispatch floor: {_floor[0]*1e3:.1f} ms "
+          f"(spread {min(samples)*1e3:.0f}-{max(samples)*1e3:.0f})")
 
 
 def main():
@@ -123,18 +144,13 @@ def main():
     xb = x.reshape(W, mb, n // mb)
     Ab = mxu._base_matrix(field, mb, False)
 
-    def timeit_arg(name, fn, xv, arg, chain=32, reps=3):
-        looped = jax.jit(lambda c: jax.lax.fori_loop(
-            0, chain, lambda i, z: (fn(z[0], z[1]), z[1]), c))
-        y = looped((xv, arg))
-        _sync(y)
-        best = 1e9
-        for _ in range(reps):
-            t0 = time.time()
-            _sync(looped((xv, arg)))
-            best = min(best, (time.time() - t0 - _floor[0]) / chain)
-        print(f"{name:38s} {best*1e3:9.3f} ms")
-        return best
+    def timeit_arg(name, fn, xv, arg, chain=32, reps=5):
+        per = _measure(lambda c: jax.jit(
+            lambda v, a: jax.lax.fori_loop(
+                0, c, lambda i, z: (fn(z[0], z[1]), z[1]), (v, a))[0]),
+            (xv, arg), probe_chain=chain, reps=reps)
+        print(f"{name:38s} {per*1e3:9.3f} ms")
+        return per
 
     timeit_arg(f"pallas base{mb} (digit+MXU+reduce)",
                lambda v, a: mxu._base_ntt_pallas(v, field, False, {mb: a}),
@@ -150,18 +166,13 @@ def main():
 
     # 7. full transforms (aux passed as args — no constant embedding)
     from ntt_tpu.api import get_runner
-    for algo in ("mxu", "fourstep", "pallas", "mxu_pallas"):
+    for algo in ("mxu_chunked", "fourstep", "mxu_pallas"):
         run, aux = get_runner(field, n, False, algo, True, None)
-        looped = jax.jit(lambda v, a, run=run: jax.lax.fori_loop(
-            0, 8, lambda i, z: run(z, a), v))
-        y = looped(x, aux)
-        _sync(y)
-        best = 1e9
-        for _ in range(3):
-            t0 = time.time()
-            _sync(looped(x, aux))
-            best = min(best, (time.time() - t0 - _floor[0]) / 8)
-        print(f"{'ntt ' + algo + ' (full)':38s} {best*1e3:9.3f} ms")
+        per = _measure(lambda c, run=run: jax.jit(
+            lambda v, a: jax.lax.fori_loop(
+                0, c, lambda i, z: run(z, a), v)),
+            (x, aux), probe_chain=8)
+        print(f"{'ntt ' + algo + ' (full)':38s} {per*1e3:9.3f} ms")
 
     # 8. raw hardware rates (roofline calibration)
     k = 2048

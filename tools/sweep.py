@@ -1,7 +1,11 @@
 """Size sweep — the reference's benchmark shape (big-num.cu:370 loops
-sizes 2^5..2^24 printing per-variant times). One JSON line per size.
+sizes 2^5..2^24 printing per-variant times). One JSON line per size,
+each point spot-verified against the native C++ hostlib oracle
+(64 output positions vs the exact host NTT of the ramp input).
 
 Usage: python tools/sweep.py [field] [algo] [logn,logn,...]
+Env: SWEEP_VERIFY=0 to skip the hostlib check (it costs one exact host
+NTT per size — ~2 min at 2^24).
 """
 
 import json
@@ -27,11 +31,24 @@ def main():
              else [8, 10, 12, 14, 16, 18, 20, 22])
 
     import ntt_tpu as nt
+    from ntt_tpu import hostlib, limbs
     from ntt_tpu.api import get_runner, ramp_mont, resolve_algorithm
 
     field = nt.get_field(field_name)
-    print(f"# sweep field={field.name} algo={algo} "
+    verify = (os.environ.get("SWEEP_VERIFY", "1") == "1"
+              and hostlib.available() and field.bits <= 256)
+    print(f"# sweep field={field.name} algo={algo} verify={verify} "
           f"backend={jax.devices()[0].device_kind}", file=sys.stderr)
+
+    def check_subsample(n, y_mont, k=64):
+        """k output positions vs the exact native-host NTT of the ramp."""
+        idx = np.linspace(0, n - 1, k, dtype=np.int64)
+        sel = jax.jit(
+            lambda v: limbs.from_mont(v[:, idx], field))(y_mont)
+        got = nt.to_ints(sel, field)
+        want_all = hostlib.ntt_np(hostlib.ramp_np(n), field)
+        want = hostlib._arr_to_ints(want_all[idx])
+        return got == want
 
     for log_n in logns:
         n = 1 << log_n
@@ -57,12 +74,16 @@ def main():
             sync(looped(x, aux))
             ts.append(time.time() - t0)
         per = max(float(np.median(ts)) - floor, 1e-9) / chain
-        print(json.dumps({
+        rec = {
             "log_n": log_n,
             "ms": round(per * 1e3, 3),
             "butterflies_per_s": round(n * log_n / 2 / per, 1),
             "algo": resolve_algorithm(algo, field, n),
-        }))
+        }
+        if verify:
+            rec["bitexact"] = bool(check_subsample(n, jax.jit(
+                lambda v, a: run(v, a))(x, aux)))
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":
