@@ -153,7 +153,13 @@ def main():
     x = ramp_mont(f, n)
     rf, af = get_runner(f, n, False, algo, True, None)
     best = _time(rf, af, x, reps, 4)
-    report(f"bls12-381_fourstep_2^{log_n}", n, log_n, best, algo, True)
+    ok = True
+    if hostlib.available():
+        want_all = hostlib.ntt_np(hostlib.ramp_np(n), f)
+        ok = check_subsample(
+            f, n, jax.jit(rf)(x, af),
+            lambda idx: hostlib._arr_to_ints(want_all[idx]))
+    report(f"bls12-381_fourstep_2^{log_n}", n, log_n, best, algo, ok)
 
     # ---- config 4: 2^24 coset NTT ------------------------------------------
     log_n = 15 if quick else 24
@@ -161,7 +167,18 @@ def main():
     x = ramp_mont(f, n)
     rf, af = get_runner(f, n, False, algo, True, f.generator)
     best = _time(rf, af, x, reps, 2)
-    report(f"bls12-381_coset_2^{log_n}", n, log_n, best, algo, True)
+    ok = True
+    if hostlib.available():
+        # coset NTT of the ramp == plain NTT of (g^i * i): build the
+        # shifted input with the native lib (no Python-int round trips)
+        gi = hostlib.powers_np(f.generator, n, f)  # [W, n] word planes
+        gi64 = np.ascontiguousarray(gi.T).view(np.uint64)  # [n, 4] limbs
+        shifted = hostlib.mul_mod_vec_np(gi64, hostlib.ramp_np(n), f)
+        want_all = hostlib.ntt_np(shifted, f)
+        ok = check_subsample(
+            f, n, jax.jit(rf)(x, af),
+            lambda idx: hostlib._arr_to_ints(want_all[idx]))
+    report(f"bls12-381_coset_2^{log_n}", n, log_n, best, algo, ok)
 
     # ---- config 5: batched prover workload (many small polynomials) ------
     log_n, B = (10, 16) if quick else (12, 256)

@@ -62,12 +62,31 @@ def main():
             fl.append(time.time() - t0)
         floor = float(np.median(fl))
         run, aux = get_runner(field, n, False, algo, True, None)
-        # chain long enough that total work >> the ±5% dispatch-floor
-        # jitter (~20ms): aim for ~0.5-1s of work per call
-        chain = max(8, min(8192, (1 << 25) // n))
-        looped = jax.jit(lambda v, a: jax.lax.fori_loop(
-            0, chain, lambda i, z: run(z, a), v))
+        # refine the chain on CALL time until each timed call does ~1.5s
+        # of in-graph work (see bench.py: fixed chains under-measure once
+        # per-iter time drops below the tunnel's floor jitter)
+        target_s = 1.5
+
+        def make(c, run=run):
+            return jax.jit(lambda v, a: jax.lax.fori_loop(
+                0, c, lambda i, z: run(z, a), v))
+
+        chain = 16
+        looped = make(chain)
         sync(looped(x, aux))
+        for _ in range(6):
+            samples = []
+            for _ in range(2):
+                t0 = time.time()
+                sync(looped(x, aux))
+                samples.append(time.time() - t0 - floor)
+            t_call = max(float(np.median(samples)), 0.0)
+            if 0.5 * target_s <= t_call <= 3 * target_s:
+                break
+            chain = int(min(16384, max(4, chain * target_s /
+                                       max(t_call, 0.02))))
+            looped = make(chain)
+            sync(looped(x, aux))
         ts = []
         for _ in range(5):
             t0 = time.time()
