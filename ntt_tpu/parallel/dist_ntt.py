@@ -110,6 +110,22 @@ def _axis_fn(algorithm: str):
         from ..transforms.mxu import ntt_axis_mxu
         return lambda x, field, inverse: ntt_axis_mxu(
             x, field, inverse=inverse)
+    if algorithm == "mxu_sub":
+        # the round-2 production path as the per-device sub-NTT: whole
+        # multi-level sub-transforms per Pallas kernel. Narrow fields
+        # only: their conv matrices are KB-scale (safe as trace-time
+        # constants inside shard_map); 256-bit matrices are MB-scale
+        # and must go through the aux protocol (single-chip api path).
+        from ..transforms.mxu import ntt_mxu_sub, sub_mats
+
+        def local(x, field, inverse):
+            assert field.n_halves <= 8, \
+                "dist mxu_sub local requires a narrow field"
+            mats = {m: jnp.asarray(a) for m, a in
+                    sub_mats(field, x.shape[1], inverse).items()}
+            return ntt_mxu_sub(x, field, inverse, tws=None, mats=mats)
+
+        return local
     raise ValueError(f"unknown local algorithm {algorithm!r}")
 
 

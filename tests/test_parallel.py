@@ -54,7 +54,7 @@ def test_dist_matches_single_chip_bn254():
     assert got == single == oracle.ntt_golden(x, f)
 
 
-@pytest.mark.parametrize("algorithm", ["mxu", "pallas"])
+@pytest.mark.parametrize("algorithm", ["mxu", "pallas", "mxu_sub"])
 def test_dist_local_algorithms(algorithm):
     """The per-device sub-NTT is pluggable (jnp/Pallas/MXU); every local
     algorithm must produce the same bit-exact distributed transform."""
