@@ -111,7 +111,7 @@ def _build(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
 
 
 def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
-                n_inner):
+                n_inner, rep=1, tw_cols=1):
     """Whole multi-level sub-NTT per batch tile: the peel-BASE recursion
     of transforms.mxu.ntt_axis_mxu traced INSIDE the kernel on VMEM
     values (single arithmetic surface), plus the optional decomposition
@@ -131,13 +131,24 @@ def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
     y = _mxu.ntt_axis_mxu(x_ref[:], field, inverse=inverse, tws=tws,
                           mats=mats)
     if t3_ref is not None:
-        y = limbs.mont_mul(y, t3_ref[:], field)
+        if rep == 1:
+            y = limbs.mont_mul(y, t3_ref[:], field)
+        else:
+            # deep-level twiddle: batch = (i2, r) pairs with r minor, the
+            # twiddle constant across each rep-sized r block — apply at
+            # i2 resolution via an in-tile reshape (tw_cols = number of
+            # distinct i2 columns this tile spans)
+            W_, m_, Bt_ = y.shape
+            yr = y.reshape(W_, m_, tw_cols, rep)
+            yr = limbs.mont_mul(yr, t3_ref[:][:, :, :, None], field)
+            y = yr.reshape(W_, m_, Bt_)
     o_ref[:] = jnp.swapaxes(y, 1, 2) if transpose_out else y
 
 
 @functools.lru_cache(maxsize=None)
 def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
-               transpose_out: bool, inverse: bool, interpret: bool):
+               transpose_out: bool, inverse: bool, interpret: bool,
+               rep: int = 1):
     from ..transforms import mxu as _mxu
     from ..transforms.core import host_power_matrix
     field = get_field(field_name)
@@ -154,9 +165,11 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
              else field.root_of_unity(mm))
         inner_tw.append(host_power_matrix(field, w, n1, n2))
 
+    tw_cols = max(1, Bt // rep)
     kern = functools.partial(
         _kernel_sub, field=field, m=m, inverse=inverse, has_tw=has_tw,
-        transpose_out=transpose_out, sizes=sizes, n_inner=len(inner_tw))
+        transpose_out=transpose_out, sizes=sizes, n_inner=len(inner_tw),
+        rep=min(rep, Bt), tw_cols=tw_cols)
 
     in_specs = [pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
                              memory_space=pltpu.VMEM)]
@@ -167,8 +180,21 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
         in_specs.append(pl.BlockSpec(t.shape, lambda j: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
     if has_tw:
-        in_specs.append(pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
-                                     memory_space=pltpu.VMEM))
+        if rep == 1:
+            in_specs.append(pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                                         memory_space=pltpu.VMEM))
+        elif rep <= Bt:
+            # twiddle at i2 resolution: Bt//rep columns per tile
+            in_specs.append(pl.BlockSpec((W, m, tw_cols),
+                                         lambda j: (0, 0, j),
+                                         memory_space=pltpu.VMEM))
+        else:
+            # tile sits inside one i2 column (rep > Bt): one twiddle
+            # column selected by a strided index map; in-kernel rep is
+            # the whole tile (rep=min(rep,Bt)=Bt, tw_cols=1)
+            in_specs.append(pl.BlockSpec(
+                (W, m, 1), lambda j: (0, 0, (j * Bt) // rep),
+                memory_space=pltpu.VMEM))
     if transpose_out:
         out_spec = pl.BlockSpec((W, Bt, m), lambda j: (0, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -197,20 +223,24 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
 
 def fused_subntt(x3, field: Field, inverse: bool, mats, T3=None,
                  transpose_out: bool = False,
-                 batch_tile: int | None = None):
+                 batch_tile: int | None = None, rep: int = 1):
     """Multi-level m-point sub-NTT (m up to ~512 for 256-bit fields) as
-    ONE Pallas kernel over uint32[W, m, B], with the optional full-
-    resolution decomposition twiddle T3 [W, m, B] applied in-kernel."""
+    ONE Pallas kernel over uint32[W, m, B], with the optional
+    decomposition twiddle applied in-kernel. ``rep=1``: T3 is
+    batch-resolution [W, m, B]. ``rep>1`` (deep four-step levels): the
+    batch is (i2, r) pairs with r minor and the twiddle constant across
+    each rep-block — T3 is [W, m, B//rep] and the kernel streams it at
+    1/rep the data size."""
     W, m, B = x3.shape
     if m == 1:
         return jnp.swapaxes(x3, 1, 2) if transpose_out else x3
     from .mxu_ntt import vmem_batch_tile
     Bt = batch_tile or vmem_batch_tile(field, m, B, has_tw=T3 is not None,
                                        multi=True)
-    assert B % Bt == 0
+    assert B % Bt == 0 and (rep == 1 or B % rep == 0)
     interpret = jax.default_backend() != "tpu"
     call = _build_sub(field.name, m, B, Bt, T3 is not None, transpose_out,
-                      inverse, interpret)
+                      inverse, interpret, rep=rep)
     return call(x3, mats, T3)
 
 
