@@ -55,12 +55,17 @@ def _factor_split(n2: int) -> tuple:
     return n2 // S2, S2
 
 
-def _tw_tables(field, n, inverse, requests):
+def _tw_tables(field, n, inverse, requests, allow_factored=False):
+    # ``allow_factored``: only the fourstep-family drivers (everything
+    # routed through fourstep._fused_level) understand the (TJ, TS)
+    # factored-table tuples; the flat drivers (mxu/mxu_pallas) reshape the
+    # table and would crash at trace time (ADVICE round 2)
     from .transforms.core import power_matrix_chunked
     out = []
     for (m, n1, n2) in requests:
         w = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
-        if FACTOR_TW_MIN and m == n and m > FACTOR_TW_MIN and n2 > 1:
+        if (allow_factored and FACTOR_TW_MIN and m == n
+                and m > FACTOR_TW_MIN and n2 > 1):
             J2, S2 = _factor_split(n2)
             tj = host_power_matrix(field, pow(w, S2, field.p), n1, J2)
             ts = host_power_matrix(field, w, n1, S2)

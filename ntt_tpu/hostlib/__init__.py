@@ -113,6 +113,8 @@ def ntt_np(data: np.ndarray, field: Field, inverse: bool = False
     the fast exact oracle for data-sized verification at 2^20+)."""
     lib = _load()
     assert lib is not None, "hostfield library unavailable"
+    assert field.bits <= 256, \
+        f"hostfield elements are fixed 4x64 — field {field.name} too wide"
     inp = np.ascontiguousarray(data, dtype=np.uint64)
     n = inp.shape[0]
     out = np.empty_like(inp)
@@ -128,6 +130,8 @@ def mul_mod_vec_np(a: np.ndarray, b: np.ndarray, field: Field
     """Elementwise a*b mod p on np.uint64[n, 4] limb rows."""
     lib = _load()
     assert lib is not None, "hostfield library unavailable"
+    assert field.bits <= 256, \
+        f"hostfield elements are fixed 4x64 — field {field.name} too wide"
     aa = np.ascontiguousarray(a, dtype=np.uint64)
     ba = np.ascontiguousarray(b, dtype=np.uint64)
     out = np.empty_like(aa)

@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import digits
 from ..fields import Field, get_field
+from .specs import assert_block_legal
 
 import os
 
@@ -92,6 +93,8 @@ def _build(field_name: str, m: int, Bt: int, interpret: bool):
 
     def call(x, A):
         B = x.shape[2]
+        assert_block_legal((W, m, Bt), (W, m, B), "base_ntt_mxu x")
+        assert_block_legal((E * m, D * m), (E * m, D * m), "base_ntt_mxu A")
         return pl.pallas_call(
             kern,
             grid=(B // Bt,),

@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import limbs
 from ..fields import Field, get_field
 from ..transforms.core import bit_reverse_axis1, twiddle_master
+from .specs import assert_block_legal
 
 DEFAULT_BATCH_TILE = 128
 
@@ -116,6 +117,8 @@ def _build(field_name: str, m: int, Bt: int, interpret: bool):
 
     def call(x, stage_tws):
         B = x.shape[2]
+        assert_block_legal((W, m, Bt), (W, m, B), "vmem_ntt x")
+        assert_block_legal((W, m // 2, 1), (W, m // 2, 1), "vmem_ntt tw")
         return pl.pallas_call(
             kern,
             grid=(B // Bt,),

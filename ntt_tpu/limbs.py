@@ -377,7 +377,8 @@ def debug_check(x, field: Field, where: str):
                 f"NTT_DEBUG: {int(bad)} non-canonical element(s) (>= p) "
                 f"at {where} [{field.name}]")
 
-    ok = jnp.all(is_canonical(x, field))
-    bad = jnp.sum(~is_canonical(x, field))
+    c = is_canonical(x, field)
+    ok = jnp.all(c)
+    bad = jnp.sum(~c)
     jax.debug.callback(_raise, ok, bad)
     return x

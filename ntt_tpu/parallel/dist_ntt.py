@@ -247,6 +247,16 @@ def make_dist_ntt(field: Field, n: int, mesh: Mesh, inverse: bool = False,
 
     n1, n2 = split_log(n)
     D = _axis_size(mesh)
+    if exchange == "pallas" and len(mesh.axis_names) != 1:
+        # The remote-DMA kernel addresses peers with single-coordinate
+        # MESH device ids and a single shared barrier (collective_id=7):
+        # on a factored (replica, ntt) mesh it would mis-address devices
+        # and concurrent replica groups would collide on the barrier
+        # (ADVICE round 2, medium). Use the XLA all_to_all there.
+        raise ValueError(
+            "exchange='pallas' requires a 1-D mesh (got axes "
+            f"{mesh.axis_names}); use exchange='all_to_all' on factored "
+            "replica meshes")
     assert n2 % D == 0, f"n2={n2} must be divisible by '{AXIS}' axis size {D}"
     n2_loc = n2 // D
     n1_loc = n1 // D

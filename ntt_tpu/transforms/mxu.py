@@ -234,9 +234,9 @@ def ntt_mxu_sub(x, field: Field, inverse: bool = False, tws=None,
         y = fused_subntt(cf, f, inv, mats, None, transpose_out=False)
         return y.reshape(c.shape)
 
-    def tw_base(c3, t3, rep=1):
+    def tw_base(c3, t3):
         return fused_subntt(c3, field, inverse, mats, t3,
-                            transpose_out=False, rep=rep)
+                            transpose_out=False)
 
     return ntt_axis_fourstep(x, field, inverse, base,
                              base_max=effective_subbase(field),
@@ -258,16 +258,14 @@ def ntt_mxu_chunked(x, field: Field, inverse: bool = False, tws=None,
     if FUSE_TW and mats is not None:
         from ..kernels.mxu_level import fused_level
 
-        def tw_base(c3, t3, rep=1):
+        def tw_base(c3, t3):
             # c3: [W, m, B]; one kernel: digits + MXU matmul +
             # Montgomery reduce + twiddle mont_mul (no in-kernel
             # transpose — the XLA relayout after it measured free).
-            # rep>1 (deep levels): twiddle at i2 resolution via the
-            # multi-level kernel builder (same single-level structure).
             from ..kernels.mxu_level import fused_subntt
             return fused_subntt(c3, field, inverse,
                                 {c3.shape[1]: mats[c3.shape[1]]}, t3,
-                                transpose_out=False, rep=rep)
+                                transpose_out=False)
 
     return ntt_axis_fourstep(x, field, inverse, base, base_max=BASE,
                              tws=tws, pre_col=pre_col, tw_base_fn=tw_base)

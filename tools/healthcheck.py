@@ -1,8 +1,21 @@
 """Health check: run every registered algorithm at a small size on the
 current backend and verify bit-exactness against the Python oracle.
 
-Usage: python tools/healthcheck.py [field] [logn]
-Prints one line per algorithm (OK / FAIL) and exits non-zero on failure.
+Usage:
+    python tools/healthcheck.py [field] [logn]   # one-config sweep of all
+                                                 # algorithms (default
+                                                 # small-proth 2^9)
+    python tools/healthcheck.py --deep           # deep-level tier
+
+The deep tier exists because Mosaic tiling bugs only manifest on TPU and
+only at sizes that reach a DEEP (R>1) four-step level — the round-2
+in-kernel rep-twiddle shipped broken exactly because nothing TPU-side ran
+past the first level (VERDICT round 2, weak #2). It drives the production
+algorithms (mxu_chunked / mxu_sub / auto) at depth-exercising sizes:
+256-bit at 2^13 (>= 3 four-step levels at base 32) and narrow at 2^19
+(deep level past the 2^18 sub-peel). Exactness at the big sizes checks
+against the native host backend (hostlib) when available. Run it ON TPU
+before any end-of-round snapshot.
 """
 
 import os
@@ -11,35 +24,67 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main():
-    import jax
+def _golden(x, f, inverse=False):
+    """Exact host transform: native hostlib when usable, Python oracle
+    otherwise (hostlib is ~100x faster — needed at n >= 2^18)."""
+    from ntt_tpu import hostlib, oracle
+    if hostlib.available() and f.bits <= 256:
+        out = hostlib.ntt_np(hostlib._ints_to_arr(x), f, inverse=inverse)
+        return hostlib._arr_to_ints(out)
+    fn = oracle.intt_golden if inverse else oracle.ntt_golden
+    return fn(x, f)
 
+
+def _check(f, log_n, algos):
     import ntt_tpu as nt
     from ntt_tpu import oracle
-    from ntt_tpu.api import ALGORITHMS
-
-    field_name = sys.argv[1] if len(sys.argv) > 1 else "small-proth"
-    log_n = int(sys.argv[2]) if len(sys.argv) > 2 else 9
-    f = nt.get_field(field_name)
     n = 1 << log_n
     x = oracle.ramp(n, f)
-    golden = oracle.ntt_golden(x, f)
-    print(f"# healthcheck field={f.name} n=2^{log_n} "
-          f"backend={jax.devices()[0].device_kind}")
-
+    golden = _golden(x, f)
     failures = 0
-    for algo in list(ALGORITHMS) + ["auto"]:
+    for algo in algos:
         try:
             y = nt.to_ints(nt.ntt(nt.from_ints(x, f), f, algorithm=algo), f)
             ok = y == golden
             rt = nt.to_ints(
                 nt.intt(nt.from_ints(golden, f), f, algorithm=algo), f)
             ok = ok and rt == x
-            print(f"{algo:14s} {'OK' if ok else 'MISMATCH'}")
+            print(f"{f.name:14s} 2^{log_n:<3d} {algo:14s} "
+                  f"{'OK' if ok else 'MISMATCH'}", flush=True)
             failures += 0 if ok else 1
         except Exception as e:  # noqa: BLE001
-            print(f"{algo:14s} FAIL: {str(e)[:140]}")
+            print(f"{f.name:14s} 2^{log_n:<3d} {algo:14s} "
+                  f"FAIL: {str(e)[:140]}", flush=True)
             failures += 1
+    return failures
+
+
+def main():
+    import jax
+
+    import ntt_tpu as nt
+    from ntt_tpu.api import ALGORITHMS
+
+    deep = "--deep" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    backend = jax.devices()[0].device_kind
+
+    if deep:
+        # depth-exercising production tier: every config reaches R>1
+        # four-step levels (and, narrow, the deep sub-peel level)
+        print(f"# healthcheck --deep backend={backend}", flush=True)
+        prod = ["mxu_chunked", "mxu_sub", "auto"]
+        failures = 0
+        failures += _check(nt.get_field("bls12-381-fr"), 13, prod)
+        failures += _check(nt.get_field("small-proth"), 19, prod)
+        sys.exit(1 if failures else 0)
+
+    field_name = args[0] if len(args) > 0 else "small-proth"
+    log_n = int(args[1]) if len(args) > 1 else 9
+    f = nt.get_field(field_name)
+    print(f"# healthcheck field={f.name} n=2^{log_n} backend={backend}",
+          flush=True)
+    failures = _check(f, log_n, list(ALGORITHMS) + ["auto"])
     sys.exit(1 if failures else 0)
 
 
