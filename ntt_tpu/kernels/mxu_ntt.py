@@ -69,6 +69,7 @@ def vmem_batch_tile(field: Field, m: int, B: int, has_tw: bool = False,
 
 
 def _kernel(x_ref, a_ref, o_ref, *, field: Field, m: int, zmax_bits: int):
+    from .. import limbs
     x = x_ref[:]                                   # [W, m, Bt]
     D = digits.n_digits(field)
     E = 2 * D - 1
@@ -78,8 +79,9 @@ def _kernel(x_ref, a_ref, o_ref, *, field: Field, m: int, zmax_bits: int):
         a_ref[:], d.reshape(D * m, Bt),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)          # [E*m, Bt]
-    o_ref[:] = digits.recompose_reduce(
-        Z.reshape(E, m, Bt), field, zmax_bits)
+    with limbs.fori_limb_loops():
+        o_ref[:] = digits.recompose_reduce(
+            Z.reshape(E, m, Bt), field, zmax_bits)
 
 
 @functools.lru_cache(maxsize=None)

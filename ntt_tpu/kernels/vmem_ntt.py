@@ -85,7 +85,8 @@ def _stages_body(x, tw_refs, field: Field, m: int):
 
 def _kernel(*refs, field: Field, m: int):
     x_ref, tw_refs, o_ref = refs[0], refs[1:-1], refs[-1]
-    o_ref[:] = _stages_body(x_ref[:], tw_refs, field, m)
+    with limbs.fori_limb_loops():
+        o_ref[:] = _stages_body(x_ref[:], tw_refs, field, m)
 
 
 def _kernel_fused(*refs, field: Field, m: int, has_tw: bool,
@@ -97,9 +98,10 @@ def _kernel_fused(*refs, field: Field, m: int, has_tw: bool,
         x_ref, tw_refs, t_ref, o_ref = refs[0], refs[1:-2], refs[-2], refs[-1]
     else:
         x_ref, tw_refs, t_ref, o_ref = refs[0], refs[1:-1], None, refs[-1]
-    y = _stages_body(x_ref[:], tw_refs, field, m)
-    if t_ref is not None:
-        y = limbs.mont_mul(y, t_ref[:], field)
+    with limbs.fori_limb_loops():
+        y = _stages_body(x_ref[:], tw_refs, field, m)
+        if t_ref is not None:
+            y = limbs.mont_mul(y, t_ref[:], field)
     o_ref[:] = jnp.swapaxes(y, 1, 2) if transpose_out else y
 
 

@@ -206,6 +206,119 @@ def _halves_stacked(x) -> jnp.ndarray:
     return stacked.reshape((2 * W,) + x.shape[1:])
 
 
+# ---------------------------------------------------------------------------
+# fori-loop CIOS scope (Mosaic trace-footprint control)
+#
+# The unrolled CIOS forms below trace L (resp. ``iters``) copies of their
+# loop body — for 16-half (256-bit) fields that is hundreds of vector ops
+# per modular product, and a Pallas kernel containing several of them (the
+# multi-level sub-NTT kernels) overflows the Mosaic compile helper's memory
+# (round-2 limit: no 256-bit multi-level kernel at any m >= 64). Inside
+# ``fori_limb_loops()`` the wide-field ops switch to jax.lax.fori_loop
+# bodies traced ONCE — identical arithmetic (bit-exact, property-tested),
+# ~L-fold smaller kernel IR. Kernels enable the scope around their body
+# trace; XLA-level graphs keep the unrolled form (XLA handles the op count
+# fine and fuses across iterations).
+# ---------------------------------------------------------------------------
+
+_LOOP_SCOPE = False
+
+#: only fields at least this wide switch (narrow-field unrolls are small
+#: and faster: no loop-carried state, better Mosaic scheduling)
+LOOP_MIN_HALVES = 12
+
+
+class fori_limb_loops:
+    """Context manager: within, mont_mul/mont_reduce_wide on wide fields
+    (n_halves >= LOOP_MIN_HALVES) trace as fori_loop bodies."""
+
+    def __enter__(self):
+        global _LOOP_SCOPE
+        self._prev = _LOOP_SCOPE
+        _LOOP_SCOPE = True
+
+    def __exit__(self, *exc):
+        global _LOOP_SCOPE
+        _LOOP_SCOPE = self._prev
+        return False
+
+
+def _mont_mul_loop(x, y, field: Field):
+    """fori_loop form of :func:`mont_mul` — same lazy-CIOS recurrence with
+    the outer half-limb iteration as a traced-once loop body."""
+    import jax
+    L = field.n_halves
+    a = _halves_stacked(x)
+    b = _halves_stacked(y)
+    bb = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    b = jnp.broadcast_to(b, (L,) + bb)
+    p_h = _field_halves(field)  # scalar literals — a jnp array here would
+    # be a captured constant, which pallas_call rejects inside kernels
+    np0 = np.uint32(field.np0)
+    z1 = jnp.zeros((1,) + bb, dtype=jnp.uint32)
+    t0 = jnp.zeros((L + 1,) + bb, dtype=jnp.uint32)
+
+    def body(i, t):
+        ai = jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+        prod = ai * b                                   # [L, *bb]
+        t = t + jnp.concatenate([prod & _MASK, z1], axis=0) \
+              + jnp.concatenate([z1, prod >> HALF_BITS], axis=0)
+        m = (t[0] * np0) & _MASK
+        mp = jnp.stack([m * ph for ph in p_h], axis=0)  # [L, *bb]
+        t = t + jnp.concatenate([mp & _MASK, z1], axis=0) \
+              + jnp.concatenate([z1, mp >> HALF_BITS], axis=0)
+        carry0 = t[0] >> HALF_BITS
+        return jnp.concatenate([(t[1] + carry0)[None], t[2:], z1], axis=0)
+
+    t = jax.lax.fori_loop(0, L, body, t0)
+    out = []
+    c = None
+    for j in range(L):
+        s = t[j] if c is None else t[j] + c
+        out.append(s & _MASK)
+        c = s >> HALF_BITS
+    top = t[L] + c
+    return pack(_cond_sub_p(out, top, field))
+
+
+def _mont_reduce_wide_loop(halves: list, field: Field, iters: int):
+    """fori_loop form of :func:`mont_reduce_wide`: a sliding window of
+    L+2 half planes rides the eliminations; each iteration retires the
+    bottom plane and shifts the next stacked input plane in."""
+    import jax
+    L = field.n_halves
+    Wn = L + 2
+    T0 = len(halves)
+    assert T0 <= iters + Wn, "value wider than the elimination window"
+    zero = jnp.zeros_like(halves[0])
+    Hp = jnp.stack(list(halves) + [zero] * (iters + Wn - T0), axis=0)
+    bshape = Hp.shape[1:]
+    p_h = _field_halves(field)  # scalar literals (see _mont_mul_loop)
+    np0 = np.uint32(field.np0)
+    z1 = jnp.zeros((1,) + bshape, dtype=jnp.uint32)
+
+    def body(i, win):
+        m = (win[0] * np0) & _MASK
+        mp = jnp.stack([m * ph for ph in p_h], axis=0)  # [L, *b]
+        win = win + jnp.concatenate([mp & _MASK, z1, z1], axis=0) \
+                  + jnp.concatenate([z1, mp >> HALF_BITS, z1], axis=0)
+        carry0 = win[0] >> HALF_BITS  # low half 0 by construction of m
+        incoming = jax.lax.dynamic_index_in_dim(Hp, i + Wn, 0,
+                                                keepdims=True)
+        win = jnp.concatenate([win[1:], incoming], axis=0)
+        return jnp.concatenate([(win[0] + carry0)[None], win[1:]], axis=0)
+
+    win = jax.lax.fori_loop(0, iters, body, Hp[:Wn])
+    out = []
+    c = None
+    for j in range(L):
+        s = win[j] if c is None else win[j] + c
+        out.append(s & _MASK)
+        c = s >> HALF_BITS
+    top = c + win[L] + win[L + 1]
+    return pack(_cond_sub_p(out, top, field))
+
+
 def mont_mul(x, y, field: Field):
     """Montgomery product  x*y*R^{-1} mod p, canonical in/out.
 
@@ -222,6 +335,8 @@ def mont_mul(x, y, field: Field):
     SURVEY.md §7).
     """
     L = field.n_halves
+    if _LOOP_SCOPE and L >= LOOP_MIN_HALVES:
+        return _mont_mul_loop(x, y, field)
     a = _halves_stacked(x)  # [L, *ba]
     b = _halves_stacked(y)  # [L, *bb]
     p_h = _field_halves(field)  # scalar literals (Pallas-kernel friendly:
@@ -280,6 +395,9 @@ def mont_reduce_wide(halves: list, field: Field, iters: int):
     final conditional subtract.
     """
     L = field.n_halves
+    if (_LOOP_SCOPE and L >= LOOP_MIN_HALVES
+            and len(halves) <= iters + L + 2):
+        return _mont_reduce_wide_loop(halves, field, iters)
     p_h = _field_halves(field)
     np0 = np.uint32(field.np0)
     t = list(halves)

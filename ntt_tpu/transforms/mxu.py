@@ -177,24 +177,36 @@ SUBBASE = 1 << SUBBASE_LOG
 _subbase_cache: dict = {}
 
 
+#: multi-level sub-NTT peel for 256-bit fields, log2 (0 = single-level
+#: BASE). Round 2 measured the Mosaic compile helper dying on FULLY
+#: UNROLLED 16-half multi-level kernels at any m >= 64; the limb CIOS
+#: now traces as fori_loop bodies inside kernels (limbs.fori_limb_loops,
+#: ~16x smaller kernel IR), which is expected to lift that — but the
+#: helper only runs on real TPU, so the wider peel stays opt-in until a
+#: same-session healthcheck+A/B on the chip proves it (the round-2
+#: lesson: no Pallas-path default flips without TPU evidence).
+SUB256_LOG = int(__import__("os").environ.get("NTT_MXU_SUB256_LOG", "0"))
+
+
 def effective_subbase(field: Field) -> int:
     """Largest peel size <= SUBBASE whose multi-level kernel (a) fits
     the VMEM budget at the Mosaic-required 128-lane batch tile and (b)
-    stays within the Mosaic compile helper's capacity: the helper dies
-    on multi-level kernels with 16 half-limbs at ANY m >= 64 (measured
-    on TPU — the same failure mode as round 1's m=512 ladder), so
-    256-bit fields cap at the single-level BASE and mxu_sub degenerates
-    to mxu_chunked there; narrow fields get the full one-kernel-per-
-    SUBBASE-transform fusion (SMALL m=512 verified compiling+bit-exact
-    on the real chip)."""
-    got = _subbase_cache.get((field.name, SUBBASE))
+    stays within the Mosaic compile helper's capacity. Narrow fields get
+    the full one-kernel-per-SUBBASE-transform fusion (SMALL m=512
+    verified compiling+bit-exact on the real chip); 256-bit fields use
+    the NTT_MXU_SUB256_LOG peel (default: single-level BASE — see
+    SUB256_LOG)."""
+    got = _subbase_cache.get((field.name, SUBBASE, SUB256_LOG))
     if got is None:
         from ..kernels.mxu_ntt import vmem_batch_tile
-        s = SUBBASE if field.n_halves <= 8 else BASE
+        if field.n_halves <= 8:
+            s = SUBBASE
+        else:
+            s = max(BASE, 1 << SUB256_LOG) if SUB256_LOG else BASE
         while s > BASE and vmem_batch_tile(
                 field, s, 1 << 30, has_tw=True, multi=True) < 128:
             s //= 2
-        got = _subbase_cache[(field.name, SUBBASE)] = s
+        got = _subbase_cache[(field.name, SUBBASE, SUB256_LOG)] = s
     return got
 
 
@@ -234,9 +246,9 @@ def ntt_mxu_sub(x, field: Field, inverse: bool = False, tws=None,
         y = fused_subntt(cf, f, inv, mats, None, transpose_out=False)
         return y.reshape(c.shape)
 
-    def tw_base(c3, t3):
+    def tw_base(c3, t3, rep=1):
         return fused_subntt(c3, field, inverse, mats, t3,
-                            transpose_out=False)
+                            transpose_out=False, rep=rep)
 
     return ntt_axis_fourstep(x, field, inverse, base,
                              base_max=effective_subbase(field),
@@ -258,14 +270,16 @@ def ntt_mxu_chunked(x, field: Field, inverse: bool = False, tws=None,
     if FUSE_TW and mats is not None:
         from ..kernels.mxu_level import fused_level
 
-        def tw_base(c3, t3):
+        def tw_base(c3, t3, rep=1):
             # c3: [W, m, B]; one kernel: digits + MXU matmul +
             # Montgomery reduce + twiddle mont_mul (no in-kernel
             # transpose — the XLA relayout after it measured free).
+            # rep>1 (deep levels): sublane-layout i2-resolution twiddle
+            # streamed at 1/rep the data size (kernels/mxu_level.py).
             from ..kernels.mxu_level import fused_subntt
             return fused_subntt(c3, field, inverse,
                                 {c3.shape[1]: mats[c3.shape[1]]}, t3,
-                                transpose_out=False)
+                                transpose_out=False, rep=rep)
 
     return ntt_axis_fourstep(x, field, inverse, base, base_max=BASE,
                              tws=tws, pre_col=pre_col, tw_base_fn=tw_base)

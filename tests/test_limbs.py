@@ -102,6 +102,47 @@ def test_mont_reduce_wide(field):
     assert got == [v * rinv % f.p for v in vals]
 
 
+@pytest.mark.parametrize("field", [BN254_FR, BLS12_381_FR],
+                         ids=lambda f: f.name)
+def test_fori_loop_forms_bitexact(field):
+    """Inside limbs.fori_limb_loops() the wide-field CIOS ops trace as
+    fori_loop bodies (the Mosaic trace-footprint fix for 256-bit
+    multi-level kernels) — must be bit-identical to the unrolled forms
+    on uniform + boundary values, including the broadcast call shapes
+    the twiddle paths use."""
+    from ntt_tpu.fields import HALF_BITS, inv_mod
+    import jax.numpy as jnp
+
+    f = field
+    p = f.p
+    xs, ys = _rand(f, N, 21), _rand(f, N, 22)
+    X, Y = limbs.from_ints(xs, f), limbs.from_ints(ys, f)
+    with limbs.fori_limb_loops():
+        got = limbs.to_ints(limbs.mont_mul(X, Y, f), f)
+    assert got == [a * b * f.R_inv % p for a, b in zip(xs, ys)]
+
+    # broadcast: [W, m, k, r] * [W, m, k, 1] (the deep-twiddle shape)
+    Xb = X.reshape(f.n_words, 8, 4, 4)
+    Yb = limbs.from_ints(ys[:32], f).reshape(f.n_words, 8, 4, 1)
+    with limbs.fori_limb_loops():
+        gb = limbs.mont_mul(Xb, Yb, f)
+    ref = limbs.mont_mul(Xb, Yb, f)
+    assert limbs.to_ints(gb, f) == limbs.to_ints(ref, f)
+
+    # mont_reduce_wide at the digit-recompose width (the kernel call site)
+    rng = random.Random(23)
+    iters = f.n_halves + 1
+    vals = [rng.randrange((1 << (16 * iters)) * p) for _ in range(8)]
+    n_h = (max(v.bit_length() for v in vals) + HALF_BITS - 1) // HALF_BITS
+    halves = [jnp.asarray(np.asarray(
+        [(v >> (16 * j)) & 0xFFFF for v in vals], dtype=np.uint32))
+        for j in range(n_h)]
+    with limbs.fori_limb_loops():
+        got = limbs.to_ints(limbs.mont_reduce_wide(halves, f, iters), f)
+    rinv = inv_mod(1 << (16 * iters), p)
+    assert got == [v * rinv % p for v in vals]
+
+
 @pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
 def test_eq_and_canonical(field):
     xs = _rand(field, 32, 9)

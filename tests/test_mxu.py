@@ -171,17 +171,119 @@ def test_mxu_sub_multilevel():
 
 
 def test_mxu_chunked_deep_level_ktw():
-    """End-to-end with a DEEP four-step level (R>1): n=2^11 -> top
-    (2^11,32,64) then (64,32,2) with R=32. The round-2 in-kernel
-    rep-twiddle at 1/R resolution was Mosaic-illegal (VERDICT round 2
-    weak #1); deep levels now apply the decomposition twiddle in a
-    separate pass — this pins the end-to-end result either way."""
+    """End-to-end with a DEEP four-step level (R>1) taking the in-kernel
+    sublane-layout twiddle path: n=2^11 -> top (2^11,32,64) then
+    (64,32,2) with R=32."""
     f, n = nt.SMALL, 1 << 11
     x = oracle.ramp(n, f)
     golden = oracle.ntt_golden(x, f)
     for algo in ("mxu_chunked", "mxu_sub"):
         got = nt.to_ints(nt.ntt(nt.from_ints(x, f), f, algorithm=algo), f)
         assert got == golden, algo
+
+
+def test_fused_subntt_rep_twiddle():
+    """Deep-level in-kernel twiddle (rep>1): T3 is the i2-resolution
+    table in SUBLANE layout [W, B//rep, m], streamed at 1/rep the data
+    size through Mosaic-legal 8-aligned-row blocks. Must equal
+    base-transform-then-explicit-multiply across every tiling branch:
+    k_cols >= 8 (static offset), 1 < k_cols < 8 (dynamic offset inside
+    an 8-row block), and rep > Bt (single column, dynamic offset)."""
+    import jax.numpy as jnp
+    from ntt_tpu.kernels.mxu_level import fused_subntt
+    from ntt_tpu.transforms.mxu import _base_matrix, _base_ntt
+    f = nt.SMALL
+    rng = random.Random(11)
+    # batch tiles must themselves be lane-legal (>= 128 or == B):
+    # (n2=32, R=16, Bt=256) -> k_cols=16 static; (n2=8, R=32, Bt=128) ->
+    # k_cols=4 dynamic offset; (n2=2, R=256, Bt=128) -> rep > Bt
+    for (m, n2, R, bts) in ((32, 32, 16, (256,)),
+                            (32, 8, 32, (128,)),
+                            (32, 2, 256, (128,))):
+        B = n2 * R
+        xv = [rng.randrange(f.p) for _ in range(m * B)]
+        tv = [rng.randrange(1, f.p) for _ in range(m * n2)]
+        X = limbs.to_mont(nt.from_ints(xv, f).reshape(f.n_words, m, B), f)
+        Tn = limbs.to_mont(
+            nt.from_ints(tv, f).reshape(f.n_words, m, n2), f)
+        mats = {m: _base_matrix(f, m, False)}
+        base = _base_ntt(X, f, False, mats)
+        Texp = jnp.repeat(Tn, R, axis=2)           # [W, m, B] expanded
+        want = nt.to_ints(limbs.mont_mul(base, Texp, f), f)
+        Ts = jnp.swapaxes(Tn, 1, 2)                # [W, n2, m] sublane
+        for bt in bts:
+            got = fused_subntt(X, f, False, mats, T3=Ts, rep=R,
+                               batch_tile=bt)
+            assert nt.to_ints(got, f) == want, (m, n2, R, bt)
+
+
+def test_fused_subntt_256bit_multilevel():
+    """256-bit multi-level sub-NTT in ONE Pallas kernel (m=128 = 32*4,
+    two in-kernel MXU levels) — the round-2 gap (effective_subbase capped
+    16-half fields at the single-level BASE because the fully-unrolled
+    kernel overflowed the Mosaic compile helper; the limb CIOS now traces
+    as fori_loop bodies, limbs.fori_limb_loops). Bit-exact vs the XLA
+    ntt_axis_mxu composition, with and without the in-kernel twiddle."""
+    import jax.numpy as jnp
+    from ntt_tpu.kernels.mxu_level import fused_subntt
+    from ntt_tpu.transforms.mxu import _base_matrix, ntt_axis_mxu
+    f, m, B = nt.BN254_FR, 128, 128
+    rng = random.Random(31)
+    xv = [rng.randrange(f.p) for _ in range(m * B)]
+    X = limbs.to_mont(nt.from_ints(xv, f).reshape(f.n_words, m, B), f)
+    mats = {32: _base_matrix(f, 32, False), 4: _base_matrix(f, 4, False)}
+    want = ntt_axis_mxu(X, f, inverse=False, mats=mats)
+    got = fused_subntt(X, f, False, mats, None, transpose_out=False)
+    assert nt.to_ints(got, f) == nt.to_ints(want, f)
+    # with the batch-resolution in-kernel decomposition twiddle
+    tv = [rng.randrange(1, f.p) for _ in range(m * B)]
+    T3 = limbs.to_mont(nt.from_ints(tv, f).reshape(f.n_words, m, B), f)
+    want_tw = limbs.mont_mul(want, T3, f)
+    got_tw = fused_subntt(X, f, False, mats, T3, transpose_out=False)
+    assert nt.to_ints(got_tw, f) == nt.to_ints(want_tw, f)
+
+
+def test_mxu_sub_256bit_end_to_end(monkeypatch):
+    """ntt_mxu_sub with the NTT_MXU_SUB256_LOG peel enabled: n=2^9 BN254
+    via m=128 multi-level kernels, bit-exact vs golden."""
+    from ntt_tpu.transforms import mxu as _mxu
+    monkeypatch.setattr(_mxu, "SUB256_LOG", 7)
+    _mxu._subbase_cache.clear()
+    try:
+        f, n = nt.BN254_FR, 1 << 9
+        assert _mxu.effective_subbase(f) == 128
+        x = oracle.ramp(n, f)
+        golden = oracle.ntt_golden(x, f)
+        X = limbs.to_mont(nt.from_ints(x, f), f)
+        mats = _mxu.sub_mats(f, n, False)
+        y = _mxu.ntt_mxu_sub(X, f, mats=mats)
+        assert nt.to_ints(limbs.from_mont(y, f), f) == golden
+    finally:
+        _mxu._subbase_cache.clear()
+
+
+def test_fused_level_probe_stages():
+    """Knockout probe (tools/microbench.py knockout): every truncation
+    stage traces+runs, and the final 'tw' stage computes exactly the
+    production fused level (base matmul + reduce + twiddle)."""
+    import jax.numpy as jnp
+    from ntt_tpu.kernels.mxu_level import (PROBE_STAGES, fused_level,
+                                           fused_level_probe)
+    from ntt_tpu.transforms.mxu import _base_matrix
+    f, m, B = nt.SMALL, 32, 256
+    rng = random.Random(41)
+    xv = [rng.randrange(f.p) for _ in range(m * B)]
+    tv = [rng.randrange(1, f.p) for _ in range(m * B)]
+    X = limbs.to_mont(nt.from_ints(xv, f).reshape(f.n_words, m, B), f)
+    T = limbs.to_mont(nt.from_ints(tv, f).reshape(f.n_words, m, B), f)
+    A = _base_matrix(f, m, False)
+    for stage in PROBE_STAGES:
+        y = fused_level_probe(X, f, A, stage,
+                              T3=T if stage == "tw" else None)
+        assert y.shape == X.shape, stage
+    got = fused_level_probe(X, f, A, "tw", T3=T)
+    want = fused_level(X, f, A, T, transpose_out=False)
+    assert nt.to_ints(got, f) == nt.to_ints(want, f)
 
 
 def test_mxu_coset_lde():

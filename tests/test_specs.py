@@ -43,6 +43,75 @@ def test_round2_regression_shape_rejected():
         assert_block_legal((8, 32, 1), (8, 32, 256), "regression")
 
 
+@pytest.mark.parametrize("field_name,logn,algo", [
+    ("bls12-381-fr", 18, "mxu_chunked"),   # the driver's headline config
+    ("bls12-381-fr", 18, "mxu_sub"),
+    ("bls12-381-fr", 22, "mxu_chunked"),
+    ("small-proth", 22, "mxu_sub"),        # deep sub-peel levels
+    ("small-proth", 26, "mxu_sub"),        # the 2^26 sweep ceiling
+    ("goldilocks", 20, "mxu_sub"),
+])
+def test_production_sizes_trace_legal(field_name, logn, algo):
+    """jax.eval_shape traces the FULL production transform (running every
+    assert_block_legal) without compiling or allocating — a seconds-cheap
+    CPU check that the driver's exact TPU configs build legal kernels.
+    This is the static half of the round-3 verification fix; the dynamic
+    half is `tools/healthcheck.py --deep` on the real chip."""
+    import jax
+    import jax.numpy as jnp
+
+    import ntt_tpu as nt
+    from ntt_tpu.api import ALGORITHMS
+    from ntt_tpu.transforms import fourstep as _fourstep
+    from ntt_tpu.transforms import mxu as _mxu
+
+    f = nt.get_field(field_name)
+    n = 1 << logn
+    fn, _ = ALGORITHMS[algo]
+    base_max = (_mxu.effective_subbase(f) if algo == "mxu_sub"
+                else _mxu.BASE)
+    reqs = _fourstep.twiddle_requests(n, base_max, f)
+    tws = [jax.ShapeDtypeStruct((f.n_words, n1, n2), jnp.uint32)
+           for (_, n1, n2) in reqs]
+    mats = (_mxu.sub_mats(f, n, False) if algo == "mxu_sub"
+            else _mxu.base_mats(f, n, False, residency=True))
+    aux = {"tws": tws, "mats": mats}
+    x = jax.ShapeDtypeStruct((f.n_words, n), jnp.uint32)
+    out = jax.eval_shape(lambda x, aux: fn(x, f, False, aux), x, aux)
+    assert out.shape == (f.n_words, n)
+
+
+def test_production_sizes_trace_legal_sub256(monkeypatch):
+    """Same eval_shape legality check for the 256-bit multi-level peel
+    (NTT_MXU_SUB256_LOG=7): BLS 2^18 via m=128 two-level kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    import ntt_tpu as nt
+    from ntt_tpu.transforms import fourstep as _fourstep
+    from ntt_tpu.transforms import mxu as _mxu
+
+    monkeypatch.setattr(_mxu, "SUB256_LOG", 7)
+    _mxu._subbase_cache.clear()
+    try:
+        f = nt.get_field("bls12-381-fr")
+        n = 1 << 18
+        base_max = _mxu.effective_subbase(f)
+        assert base_max == 128
+        reqs = _fourstep.twiddle_requests(n, base_max, f)
+        tws = [jax.ShapeDtypeStruct((f.n_words, n1, n2), jnp.uint32)
+               for (_, n1, n2) in reqs]
+        mats = _mxu.sub_mats(f, n, False)
+        x = jax.ShapeDtypeStruct((f.n_words, n), jnp.uint32)
+        out = jax.eval_shape(
+            lambda x, aux: _mxu.ntt_mxu_sub(
+                x, f, tws=iter(aux["tws"]), mats=aux["mats"]),
+            x, {"tws": tws, "mats": mats})
+        assert out.shape == (f.n_words, n)
+    finally:
+        _mxu._subbase_cache.clear()
+
+
 def test_kernel_builders_guard_their_specs():
     """An illegal batch tile reaching a kernel builder raises at trace
     time on ANY backend (the CPU-side tripwire for TPU-only crashes)."""

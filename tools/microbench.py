@@ -5,6 +5,13 @@ same in-graph chained-repeat protocol as bench.py, to attribute wall-clock
 between MXU matmul, VPU Montgomery ops, reduction, and relayout.
 
 Usage: python tools/microbench.py [logn] [field]
+       python tools/microbench.py knockout [logn] [field] [m]
+
+``knockout`` runs the fused-level isolation experiment (VERDICT r2 item
+4): the production kernel truncated after each pipeline stage, timed on
+the same tile session, so the per-stage deltas attribute the kernel's
+time between HBM stream, digit extract, MXU matmul, Montgomery reduce,
+and twiddle — locating the stall by measurement.
 """
 
 import os
@@ -80,7 +87,54 @@ def calibrate_floor(x):
           f"(spread {min(samples)*1e3:.0f}-{max(samples)*1e3:.0f})")
 
 
+def knockout():
+    log_n = int(sys.argv[2]) if len(sys.argv) > 2 else 18
+    field_name = sys.argv[3] if len(sys.argv) > 3 else "bls12-381-fr"
+    import ntt_tpu as nt
+    from ntt_tpu import limbs
+    from ntt_tpu.kernels.mxu_level import PROBE_STAGES, fused_level_probe
+    from ntt_tpu.transforms import mxu
+    from ntt_tpu.transforms.core import host_power_matrix
+
+    field = nt.get_field(field_name)
+    m = int(sys.argv[4]) if len(sys.argv) > 4 else mxu.BASE
+    n = 1 << log_n
+    W = field.n_words
+    B = n // m
+    print(f"# knockout backend={jax.devices()[0].device_kind} n=2^{log_n} "
+          f"field={field.name} m={m}")
+
+    def make_input():
+        i = jnp.arange(n, dtype=jnp.uint32)
+        planes = [i] + [jnp.zeros(n, jnp.uint32)] * (W - 1)
+        return limbs.to_mont(jnp.stack(planes, axis=0), field).reshape(
+            W, m, B)
+
+    x = jax.jit(make_input)()
+    x.block_until_ready()
+    calibrate_floor(x)
+    A = mxu._base_matrix(field, m, False)
+    T = jnp.asarray(host_power_matrix(
+        field, field.root_of_unity(n), m, B))
+
+    prev = 0.0
+    for stage in PROBE_STAGES:
+        def fn(v, a, t, stage=stage):
+            return fused_level_probe(
+                v, field, a, stage, T3=t if stage == "tw" else None)
+        per = _measure(lambda c: jax.jit(
+            lambda v, a, t: jax.lax.fori_loop(
+                0, c, lambda i, z: (fn(z[0], z[1], z[2]), z[1], z[2]),
+                (v, a, t))[0]),
+            (x, A, T), probe_chain=16)
+        print(f"{stage:12s} {per*1e3:9.3f} ms   (+{(per-prev)*1e3:8.3f})")
+        prev = per
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "knockout":
+        knockout()
+        return
     log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 18
     field_name = sys.argv[2] if len(sys.argv) > 2 else "bls12-381-fr"
 
