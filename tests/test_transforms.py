@@ -71,6 +71,18 @@ def test_mont_io():
     assert nt.to_ints(nt.from_mont(back, f), f) == x
 
 
+def test_donated_buffer():
+    """donate=True (in-place operation, the SSIP single-buffer analog,
+    GZKP-NTT.cu:1452-1558): same transform, and XLA actually consumes the
+    input buffer (the caller's array is deleted)."""
+    f, n = nt.SMALL, 256
+    x = oracle.ramp(n, f)
+    X = nt.from_ints(x, f)
+    y = nt.ntt(X, f, donate=True)
+    assert nt.to_ints(y, f) == oracle.ntt_golden(x, f)
+    assert X.is_deleted(), "donated input should be consumed"
+
+
 def test_coset_ntt_and_intt():
     f, n = nt.SMALL, 64
     x = oracle.ramp(n, f)
