@@ -25,6 +25,9 @@ Knobs (defaults are the measured-fastest production settings):
                          single-level BASE; pending TPU compile proof —
                          transforms/mxu.py SUB256_LOG)
 - ``NTT_MXU_BT=256``     default Pallas batch tile (kernels/mxu_ntt.py)
+- ``NTT_DIMSEM=``        set to ``parallel`` to mark kernel batch grids
+                         parallel for Mosaic (pipeline-schedule A/B,
+                         kernels/mxu_ntt.compiler_params)
 - ``NTT_DEBUG=0``        traced canonicity tripwire at layer boundaries
 """
 
@@ -34,7 +37,7 @@ import os
 
 _KNOBS = ("NTT_FUSE_TW", "NTT_RADIX4", "NTT_RESIDENT_SPLIT",
           "NTT_FACTOR_TW_MIN", "NTT_MXU_BASE_LOG", "NTT_MXU_SUBBASE_LOG",
-          "NTT_MXU_SUB256_LOG", "NTT_MXU_BT")
+          "NTT_MXU_SUB256_LOG", "NTT_MXU_BT", "NTT_DIMSEM")
 
 _IMPORT_SNAPSHOT = tuple(os.environ.get(k) for k in _KNOBS)
 

@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import digits, limbs
 from ..fields import Field, get_field
+from .mxu_ntt import compiler_params
 from .specs import assert_block_legal
 
 DEFAULT_BATCH_TILE = 256
@@ -111,6 +112,7 @@ def _build(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
             interpret=interpret,
+            compiler_params=compiler_params(),
         )(*args)
 
     return call
@@ -255,6 +257,7 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
             interpret=interpret,
+            compiler_params=compiler_params(),
         )(*args)
 
     return call
@@ -363,6 +366,7 @@ def _build_probe(field_name: str, m: int, B: int, Bt: int, stage: str,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((W, m, B), jnp.uint32),
             interpret=interpret,
+            compiler_params=compiler_params(),
         )(*args)
 
     return call

@@ -43,6 +43,21 @@ DEFAULT_BATCH_TILE = int(os.environ.get("NTT_MXU_BT", "256"))
 #: headroom for Mosaic's own temporaries)
 VMEM_BUDGET = 14 << 20
 
+#: NTT_DIMSEM=parallel marks the (batch-tile) grid dimension parallel for
+#: Mosaic — every kernel here writes disjoint output blocks per grid step,
+#: so the semantics are valid; whether it changes the pipeline schedule on
+#: the real chip is an A/B experiment (VERDICT r2 weak #3 candidates)
+DIMSEM = os.environ.get("NTT_DIMSEM", "")
+
+
+def compiler_params(n_grid: int = 1):
+    """pltpu.CompilerParams for the disjoint-output batch grids, or None
+    (Mosaic defaults) unless the NTT_DIMSEM experiment knob is set."""
+    if DIMSEM != "parallel":
+        return None
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel",) * n_grid)
+
 
 def vmem_batch_tile(field: Field, m: int, B: int, has_tw: bool = False,
                     multi: bool = False) -> int:
@@ -110,6 +125,7 @@ def _build(field_name: str, m: int, Bt: int, interpret: bool):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
             interpret=interpret,
+            compiler_params=compiler_params(),
         )(x, A)
 
     return call

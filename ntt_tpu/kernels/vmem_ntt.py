@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import limbs
 from ..fields import Field, get_field
 from ..transforms.core import bit_reverse_axis1, twiddle_master
+from .mxu_ntt import compiler_params
 from .specs import assert_block_legal
 
 DEFAULT_BATCH_TILE = 128
@@ -133,6 +134,7 @@ def _build(field_name: str, m: int, Bt: int, interpret: bool):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
             interpret=interpret,
+            compiler_params=compiler_params(),
         )(x, *stage_tws)
 
     return call
@@ -172,6 +174,7 @@ def _build_fused(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
             interpret=interpret,
+            compiler_params=compiler_params(),
         )(*args)
 
     return call
