@@ -258,6 +258,13 @@ def test_mxu_sub_256bit_end_to_end(monkeypatch):
         mats = _mxu.sub_mats(f, n, False)
         y = _mxu.ntt_mxu_sub(X, f, mats=mats)
         assert nt.to_ints(limbs.from_mont(y, f), f) == golden
+        # inverse kernels (the ω^{-1} conv matrices + twiddles) roundtrip
+        imats = _mxu.sub_mats(f, n, True)
+        back = _mxu.ntt_mxu_sub(y, f, inverse=True, mats=imats)
+        from ntt_tpu.fields import inv_mod
+        ninv = limbs.const_planes(f.to_mont_int(inv_mod(n, f.p)), f, 1)
+        back = limbs.mont_mul(back, ninv, f)
+        assert nt.to_ints(limbs.from_mont(back, f), f) == x
     finally:
         _mxu._subbase_cache.clear()
 
