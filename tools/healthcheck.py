@@ -2,9 +2,10 @@
 current backend and verify bit-exactness against the Python oracle.
 
 Usage:
-    python tools/healthcheck.py [field] [logn]   # one-config sweep of all
-                                                 # algorithms (default
-                                                 # small-proth 2^9)
+    python tools/healthcheck.py [field] [logn] [algos-csv]
+                                                 # one-config sweep (default
+                                                 # small-proth 2^9, all
+                                                 # algorithms)
     python tools/healthcheck.py --deep           # deep-level tier
 
 The deep tier exists because Mosaic tiling bugs only manifest on TPU and
@@ -81,10 +82,12 @@ def main():
 
     field_name = args[0] if len(args) > 0 else "small-proth"
     log_n = int(args[1]) if len(args) > 1 else 9
+    algos = (args[2].split(",") if len(args) > 2
+             else list(ALGORITHMS) + ["auto"])
     f = nt.get_field(field_name)
     print(f"# healthcheck field={f.name} n=2^{log_n} backend={backend}",
           flush=True)
-    failures = _check(f, log_n, list(ALGORITHMS) + ["auto"])
+    failures = _check(f, log_n, algos)
     sys.exit(1 if failures else 0)
 
 
