@@ -1,0 +1,183 @@
+"""One-shot round-3 TPU campaign: every chip-gated validation and
+measurement, in priority order, unattended and resumable.
+
+The round-2 lesson (VERDICT weak #1/#2) is that TPU-side proof must not
+wait for a human in the loop: the tunnel comes and goes, so the moment it
+is up we run the whole backlog in one supervised pass. Priority order
+means that if the tunnel dies mid-campaign the most important artifacts
+(bench.py green, deep healthcheck) already exist.
+
+Usage:
+    python -u tools/tpu_campaign.py            # run / resume
+    python -u tools/tpu_campaign.py --list     # show stages + status
+    python -u tools/tpu_campaign.py --only bench,hc_deep
+    python -u tools/tpu_campaign.py --redo sub256_ab
+
+Each stage is a subprocess (fresh import-time env knobs; a crash cannot
+take down the campaign). Results land in TPU_CAMPAIGN_r3/: state.json
+plus one .log per stage. A stage that already recorded ok=True is
+skipped on resume unless --redo names it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "TPU_CAMPAIGN_r3")
+STATE = os.path.join(OUT, "state.json")
+
+PY = sys.executable or "python3"
+
+
+def _stages():
+    """(name, argv, extra_env, timeout_s). Order = priority."""
+    hc = os.path.join("tools", "healthcheck.py")
+    shoot = os.path.join("tools", "shootout.py")
+    micro = os.path.join("tools", "microbench.py")
+    sweep = os.path.join("tools", "sweep.py")
+    drive = (
+        "import jax; print(jax.devices());\n"
+        "import ntt_tpu as nt\n"
+        "from ntt_tpu import oracle\n"
+        "f, n = nt.SMALL, 256\n"
+        "x = oracle.ramp(n, f)\n"
+        "y = nt.to_ints(nt.ntt(nt.from_ints(x, f), f), f)\n"
+        "assert y == oracle.ntt_golden(x, f)\n"
+        "rt = nt.to_ints(nt.intt(nt.from_ints(y, f), f), f)\n"
+        "assert rt == x\n"
+        "print('TPU forward+roundtrip OK')\n")
+    return [
+        # 0. tunnel sanity — abort the campaign if this fails
+        ("probe", [PY, "-u", "-c", "import jax; print(jax.devices())"],
+         {}, 300),
+        # 1. the /verify drive leg on the real chip
+        ("verify_small", [PY, "-u", "-c", drive], {}, 1200),
+        # 2. THE headline: driver-protocol bench must exit 0 (VERDICT #1)
+        ("bench", [PY, "-u", "bench.py"], {}, 3600),
+        # 3. small-proth 2^22 mxu_sub bit-exact on TPU (VERDICT #1 done-bar)
+        ("hc_2e22_small", [PY, "-u", hc, "small-proth", "22",
+                           "mxu_sub,auto"], {}, 3600),
+        # 4. deep tier: every production algo at depth-exercising sizes
+        #    (VERDICT #2) — BLS 2^13 then narrow 2^19
+        ("hc_deep", [PY, "-u", hc, "--deep"], {}, 10800),
+        # 5. SUB256 compile probe: does the fori-loop CIOS kernel lift the
+        #    Mosaic helper limit? (VERDICT #3)
+        ("sub256_probe", [PY, "-u", hc, "bls12-381-fr", "13", "mxu_sub"],
+         {"NTT_MXU_SUB256_LOG": "7"}, 7200),
+        # 6. SUB256 A/B at 2^18 BLS (ABA: base, knob, base re-run)
+        ("sub256_a", [PY, "-u", shoot, "18", "bls12-381-fr",
+                      "mxu_chunked,mxu_sub"], {}, 3600),
+        ("sub256_b", [PY, "-u", shoot, "18", "bls12-381-fr", "mxu_sub"],
+         {"NTT_MXU_SUB256_LOG": "7"}, 3600),
+        ("sub256_a2", [PY, "-u", shoot, "18", "bls12-381-fr", "mxu_sub"],
+         {}, 3600),
+        # 7. dimension_semantics A/B (VERDICT #4 stall isolation)
+        ("dimsem_bls", [PY, "-u", shoot, "18", "bls12-381-fr", "mxu_sub"],
+         {"NTT_DIMSEM": "parallel"}, 3600),
+        ("dimsem_small", [PY, "-u", shoot, "22", "small-proth", "mxu_sub"],
+         {"NTT_DIMSEM": "parallel"}, 3600),
+        ("dimsem_small_base", [PY, "-u", shoot, "22", "small-proth",
+                               "mxu_sub"], {}, 3600),
+        # 8. fused-level knockout attribution (VERDICT #4)
+        ("knockout", [PY, "-u", micro, "knockout", "18", "bls12-381-fr"],
+         {}, 3600),
+        # 9. 2^24 then 2^26 BLS bit-exact + timed (VERDICT #5); 2^26
+        #    fallback with the factored top twiddle if the plain run OOMs
+        ("bls24", [PY, "-u", sweep, "bls12-381-fr", "auto", "24"], {}, 7200),
+        ("bls26", [PY, "-u", sweep, "bls12-381-fr", "auto", "26"],
+         {}, 14400),
+        ("bls26_factored", [PY, "-u", sweep, "bls12-381-fr", "auto", "26"],
+         {"NTT_FACTOR_TW_MIN": str(1 << 22)}, 14400),
+        # 10. record artifacts for the round
+        ("suite", [PY, "-u", os.path.join("tools", "bench_suite.py")],
+         {}, 14400),
+        ("sweep_full", [PY, "-u", sweep, "bls12-381-fr", "auto",
+                        "12,14,16,18,20,22"], {}, 10800),
+        ("sweep_small", [PY, "-u", sweep, "small-proth", "auto",
+                         "20,22,24,26"], {}, 10800),
+    ]
+
+
+def _load():
+    if os.path.exists(STATE):
+        with open(STATE) as fh:
+            return json.load(fh)
+    return {}
+
+
+def _save(state):
+    tmp = STATE + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh, indent=1, sort_keys=True)
+    os.replace(tmp, STATE)
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    stages = _stages()
+    state = _load()
+    only = None
+    redo = set()
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    if "--redo" in sys.argv:
+        redo = set(sys.argv[sys.argv.index("--redo") + 1].split(","))
+    if "--list" in sys.argv:
+        for name, _, env, tmo in stages:
+            st = state.get(name, {})
+            print(f"{name:18s} ok={st.get('ok')} rc={st.get('rc')} "
+                  f"{st.get('wall_s', 0):.0f}s env={env} timeout={tmo}")
+        return
+
+    # skip bls26_factored when plain bls26 succeeded
+    for name, argv, env, tmo in stages:
+        if only and name not in only:
+            continue
+        if name in state and state[name].get("ok") and name not in redo:
+            print(f"== {name}: already ok, skip", flush=True)
+            continue
+        if (name == "bls26_factored"
+                and state.get("bls26", {}).get("ok")):
+            print("== bls26_factored: plain 2^26 ok, skip", flush=True)
+            continue
+        log = os.path.join(OUT, f"{name}.log")
+        print(f"== {name}: start ({' '.join(argv[2:])}) env={env}",
+              flush=True)
+        t0 = time.time()
+        full_env = dict(os.environ)
+        full_env.update(env)
+        with open(log, "a") as fh:
+            fh.write(f"\n==== {time.ctime()} env={env}\n")
+            fh.flush()
+            try:
+                rc = subprocess.run(
+                    argv, cwd=REPO, env=full_env, stdout=fh,
+                    stderr=subprocess.STDOUT, timeout=tmo).returncode
+            except subprocess.TimeoutExpired:
+                rc = -9
+                fh.write(f"\n==== TIMEOUT after {tmo}s\n")
+        wall = time.time() - t0
+        tail = ""
+        try:
+            with open(log) as fh:
+                tail = fh.read()[-400:]
+        except OSError:
+            pass
+        state[name] = {"ok": rc == 0, "rc": rc, "wall_s": round(wall, 1),
+                       "ts": time.time()}
+        _save(state)
+        print(f"== {name}: rc={rc} {wall:.0f}s\n--- tail ---\n{tail}\n---",
+              flush=True)
+        if name == "probe" and rc != 0:
+            print("== tunnel still down; aborting campaign", flush=True)
+            sys.exit(2)
+    print("== campaign complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()
