@@ -61,6 +61,21 @@ def main() -> None:
 
     import jax
 
+    # Device-init watchdog: when the axon tunnel is down, the first jax
+    # op hangs FOREVER in backend init (observed round 3: >280s hangs).
+    # Fail fast with a diagnostic instead of wedging the driver.
+    import threading
+    init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "600"))
+    devs: list = []
+    t = threading.Thread(target=lambda: devs.extend(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(init_timeout)
+    if not devs:
+        print(f"# FATAL: backend init exceeded {init_timeout:.0f}s "
+              "(axon tunnel down?)", file=sys.stderr)
+        os._exit(3)
+
     # persistent compile cache for the TPU path too (shared with the CPU
     # test suite's .jax_cache): repeat driver invocations skip XLA compiles
     jax.config.update("jax_compilation_cache_dir", os.path.join(
