@@ -76,6 +76,8 @@ def _stages():
          {"NTT_MXU_SUB256_LOG": "7"}, 3600),
         ("sub256_a2", [PY, "-u", shoot, "18", "bls12-381-fr", "mxu_sub"],
          {}, 3600),
+        # (SUB256_LOG=8 / m=256 not probed: the VMEM tile check caps the
+        # 16-half peel at m=128 — verified on CPU, effective_subbase=128)
         # 7. dimension_semantics A/B (VERDICT #4 stall isolation)
         ("dimsem_bls", [PY, "-u", shoot, "18", "bls12-381-fr", "mxu_sub"],
          {"NTT_DIMSEM": "parallel"}, 3600),
