@@ -28,6 +28,12 @@ Knobs (defaults are the measured-fastest production settings):
 - ``NTT_DIMSEM=``        set to ``parallel`` to mark kernel batch grids
                          parallel for Mosaic (pipeline-schedule A/B,
                          kernels/mxu_ntt.compiler_params)
+- ``NTT_LOOP_MIN_HALVES=12`` narrowest field (in 16-bit halves) whose
+                         in-kernel CIOS traces as fori_loop bodies; 99 =
+                         unrolled everywhere (limbs.LOOP_MIN_HALVES)
+- ``NTT_FORCE_MOSAIC=0`` force the real Mosaic lowering path off-TPU
+                         (host-side TPU lowering checks,
+                         kernels/specs.pallas_interpret; read live)
 - ``NTT_DEBUG=0``        traced canonicity tripwire at layer boundaries
 """
 
@@ -37,7 +43,8 @@ import os
 
 _KNOBS = ("NTT_FUSE_TW", "NTT_RADIX4", "NTT_RESIDENT_SPLIT",
           "NTT_FACTOR_TW_MIN", "NTT_MXU_BASE_LOG", "NTT_MXU_SUBBASE_LOG",
-          "NTT_MXU_SUB256_LOG", "NTT_MXU_BT", "NTT_DIMSEM")
+          "NTT_MXU_SUB256_LOG", "NTT_MXU_BT", "NTT_DIMSEM",
+          "NTT_LOOP_MIN_HALVES")
 
 _IMPORT_SNAPSHOT = tuple(os.environ.get(k) for k in _KNOBS)
 
@@ -49,4 +56,5 @@ def config_key() -> tuple:
     import, so later env edits cannot change the traced graph anyway)
     plus the live NTT_DEBUG value, which IS consulted on every trace.
     """
-    return _IMPORT_SNAPSHOT + (os.environ.get("NTT_DEBUG", "0"),)
+    return _IMPORT_SNAPSHOT + (os.environ.get("NTT_DEBUG", "0"),
+                               os.environ.get("NTT_FORCE_MOSAIC", "0"))

@@ -33,6 +33,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .specs import pallas_interpret
+
 
 def _a2a_kernel(c_ref, o_ref, send_sem, recv_sem, *, axis: str, D: int,
                 n1_loc: int, n2_loc: int):
@@ -88,5 +90,5 @@ def a2a_transpose(C, axis: str, D: int):
     four-step exchange output uint32[W, n1/D, n2_loc*D], bit-identical to
     the tiled XLA all_to_all (split_axis=1, concat_axis=2)."""
     W, n1, n2_loc = C.shape
-    interpret = jax.default_backend() != "tpu"
+    interpret = pallas_interpret()
     return _build(axis, D, W, n1, n2_loc, interpret)(C)

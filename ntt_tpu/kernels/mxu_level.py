@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import digits, limbs
 from ..fields import Field, get_field
 from .mxu_ntt import compiler_params
-from .specs import assert_block_legal
+from .specs import assert_block_legal, pallas_interpret
 
 DEFAULT_BATCH_TILE = 256
 
@@ -119,7 +119,7 @@ def _build(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
 
 
 def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
-                n_inner, Bt, rep, k_cols, br):
+                n_inner, Bt, rep, k_cols):
     """Whole multi-level sub-NTT per batch tile: the peel-BASE recursion
     of transforms.mxu.ntt_axis_mxu traced INSIDE the kernel on VMEM
     values (single arithmetic surface), plus the optional decomposition
@@ -131,13 +131,17 @@ def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
 
     ``rep == 1``: the twiddle ref is batch-resolution [W, m, Bt] blocks.
     ``rep > 1`` (deep four-step levels, twiddle constant across each
-    rep-block of the batch): the ref is an [W, br, m] block of the
-    SUBLANE-layout i2-resolution table [W, B//rep, m] — i2 rides the
-    8-aligned sublane dim, m the (block == array) lane dim, which is what
-    makes a 1/rep-resolution stream Mosaic-legal (the round-2 lane-dim
-    tiling of tw_cols < 128 was not; VERDICT round 2 weak #1). The
-    kernel selects its k_cols = Bt//min(rep,Bt) rows and applies them at
-    i2 resolution via an in-tile reshape."""
+    rep-block of the batch): the ref is a [W, k_cols, m] block of the
+    SUBLANE-layout i2-resolution table — i2 rides the 8-aligned sublane
+    dim, m the (block == array) lane dim, which is what makes a
+    1/rep-resolution stream Mosaic-legal (the round-2 lane-dim tiling of
+    tw_cols < 128 was not; VERDICT round 2 weak #1). The caller
+    (fused_subntt) normalizes rep <= Bt/8 by pre-expanding the table, so
+    k_cols = Bt//rep >= 8 and tile j owns exactly rows
+    [j*k_cols, (j+1)*k_cols) — fully static (the earlier in-kernel
+    ``dynamic_slice`` for k_cols < 8 does not exist in the Pallas TPU
+    lowering and crashed at exactly the driver's deep-level sizes;
+    caught by tests/test_lowering.py)."""
     from ..transforms import mxu as _mxu
     x_ref = refs[0]
     mat_refs = refs[1:1 + len(sizes)]
@@ -153,16 +157,8 @@ def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
             if rep == 1:
                 y = limbs.mont_mul(y, t3_ref[:], field)
             else:
-                tb = t3_ref[:]                     # [W, br, m] sublane i2
-                if k_cols == br:
-                    ts = tb                        # block == needed rows
-                elif k_cols >= 8:
-                    ts = tb[:, :k_cols, :]         # off provably 0
-                else:
-                    off = (pl.program_id(0) * Bt) // rep % br
-                    ts = jax.lax.dynamic_slice(
-                        tb, (0, off, 0), (tb.shape[0], k_cols, m))
-                t = jnp.swapaxes(ts, 1, 2)         # [W, m, k_cols]
+                tb = t3_ref[:]                     # [W, k_cols, m] own rows
+                t = jnp.swapaxes(tb, 1, 2)         # [W, m, k_cols]
                 W_, m_, Bt_ = y.shape
                 rep_in = Bt_ // k_cols
                 yr = y.reshape(W_, m_, k_cols, rep_in)
@@ -191,18 +187,19 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
              else field.root_of_unity(mm))
         inner_tw.append(host_power_matrix(field, w, n1, n2))
 
-    # deep-twiddle tiling (rep > 1): per batch tile the kernel needs
-    # k_cols = Bt // min(rep, Bt) consecutive rows of the [W, B//rep, m]
-    # sublane-layout table; stream br rows per block, 8-aligned (or the
-    # whole table when it is shorter than a sublane block)
+    # deep-twiddle tiling (rep > 1): the caller normalized rep <= Bt/8,
+    # so each batch tile owns exactly k_cols = Bt//rep >= 8 consecutive
+    # rows of the [W, B//rep, m] sublane-layout table — an 8-aligned
+    # static block per grid step (no in-kernel dynamic addressing: the
+    # Pallas TPU lowering has no dynamic_slice)
     n2_cols = B // rep
-    k_cols = Bt // min(rep, Bt)
-    br = k_cols if k_cols >= 8 else min(8, n2_cols)
+    k_cols = Bt // rep if rep > 1 else Bt
+    assert rep == 1 or (Bt % rep == 0 and k_cols >= 8), (Bt, rep)
 
     kern = functools.partial(
         _kernel_sub, field=field, m=m, inverse=inverse, has_tw=has_tw,
         transpose_out=transpose_out, sizes=sizes, n_inner=len(inner_tw),
-        Bt=Bt, rep=rep, k_cols=k_cols, br=br)
+        Bt=Bt, rep=rep, k_cols=k_cols)
 
     in_specs = [pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
                              memory_space=pltpu.VMEM)]
@@ -226,15 +223,13 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
         # deep level: i2-resolution table in SUBLANE layout [W, B//rep, m]
         # — i2 on the 8-aligned second-minor dim, m filling the lane dim
         # (block == array there), so the 1/rep-resolution read is legal.
-        # Tile j covers batch columns [j*Bt, (j+1)*Bt) = i2 rows
-        # [(j*Bt)//rep, ...+k_cols); with k_cols >= 8, br == k_cols and
-        # the block index is exactly j; with k_cols < 8 the block is the
-        # enclosing 8-row group and the kernel dynamic-slices the offset.
+        # Tile j covers batch columns [j*Bt, (j+1)*Bt) = exactly i2 rows
+        # [j*k_cols, (j+1)*k_cols): block index is j, fully static.
         in_specs.append(pl.BlockSpec(
-            (W, br, m), lambda j, Bt=Bt, rep=rep, br=br: (
-                0, (j * Bt) // rep // br, 0),
+            (W, k_cols, m), lambda j: (0, j, 0),
             memory_space=pltpu.VMEM))
-        assert_block_legal((W, br, m), (W, n2_cols, m), "fused_subntt T3s")
+        assert_block_legal((W, k_cols, m), (W, n2_cols, m),
+                           "fused_subntt T3s")
     if transpose_out:
         out_spec = pl.BlockSpec((W, Bt, m), lambda j: (0, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -274,8 +269,13 @@ def fused_subntt(x3, field: Field, inverse: bool, mats, T3=None,
     four-step levels — the twiddle is constant across each rep-block of
     the batch): T3 is the i2-resolution table in SUBLANE layout
     [W, B//rep, m] (i.e. ``jnp.swapaxes(T, 1, 2)`` of the usual
-    [W, m, B//rep]), streamed at 1/rep the data bandwidth through a
-    Mosaic-legal (8-aligned-rows, full-m-lanes) block."""
+    [W, m, B//rep]), streamed at ~1/rep the data bandwidth through a
+    Mosaic-legal (8-aligned-rows, full-m-lanes) block. When
+    rep > Bt/8 the table is pre-expanded (rows repeated e = 8*rep/Bt
+    times, XLA-side) so each tile statically owns >= 8 of its own rows
+    — the expanded table is still <= 8/Bt (= 1/32 at Bt=256) of the
+    data size, and the kernel needs no dynamic addressing (the Pallas
+    TPU lowering has no dynamic_slice; tests/test_lowering.py)."""
     W, m, B = x3.shape
     if m == 1:
         return jnp.swapaxes(x3, 1, 2) if transpose_out else x3
@@ -285,7 +285,14 @@ def fused_subntt(x3, field: Field, inverse: bool, mats, T3=None,
     assert B % Bt == 0 and (rep == 1 or B % rep == 0)
     if T3 is not None and rep > 1:
         assert T3.shape == (W, B // rep, m), (T3.shape, (W, B // rep, m))
-    interpret = jax.default_backend() != "tpu"
+        if rep > Bt // 8:
+            e = (8 * rep + Bt - 1) // Bt
+            n2c = B // rep
+            T3 = jnp.broadcast_to(
+                T3[:, :, None, :], (W, n2c, e, m)).reshape(W, n2c * e, m)
+            rep //= e
+        assert Bt % rep == 0 and Bt // rep >= 8, (Bt, rep)
+    interpret = pallas_interpret()
     call = _build_sub(field.name, m, B, Bt, T3 is not None, transpose_out,
                       inverse, interpret, rep=rep)
     return call(x3, mats, T3)
@@ -382,7 +389,7 @@ def fused_level_probe(x3, field: Field, A, stage: str, T3=None,
     from .mxu_ntt import vmem_batch_tile
     Bt = batch_tile or vmem_batch_tile(field, m, B, has_tw=stage == "tw")
     assert B % Bt == 0
-    interpret = jax.default_backend() != "tpu"
+    interpret = pallas_interpret()
     call = _build_probe(field.name, m, B, Bt, stage, interpret)
     return call(x3, A, T3) if stage == "tw" else call(x3, A)
 
@@ -396,7 +403,7 @@ def fused_level(x3, field: Field, A, T3=None, transpose_out: bool = True,
     from .mxu_ntt import vmem_batch_tile
     Bt = batch_tile or vmem_batch_tile(field, m, B, has_tw=T3 is not None)
     assert B % Bt == 0
-    interpret = jax.default_backend() != "tpu"
+    interpret = pallas_interpret()
     call = _build(field.name, m, B, Bt, T3 is not None, transpose_out,
                   interpret)
     return call(x3, A, T3) if T3 is not None else call(x3, A)

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import digits
 from ..fields import Field, get_field
-from .specs import assert_block_legal
+from .specs import assert_block_legal, pallas_interpret
 
 import os
 
@@ -144,5 +144,5 @@ def base_ntt_mxu_pallas(x, field: Field, inverse: bool,
         A = _base_matrix(field, m, inverse)
     Bt = batch_tile or vmem_batch_tile(field, m, B)
     assert B % Bt == 0, f"batch {B} must be divisible by tile {Bt}"
-    interpret = jax.default_backend() != "tpu"
+    interpret = pallas_interpret()
     return _build(field.name, m, Bt, interpret)(x, A)

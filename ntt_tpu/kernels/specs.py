@@ -16,8 +16,24 @@ unconstrained.
 
 from __future__ import annotations
 
+import os
+
 SUBLANE = 8
 LANE = 128
+
+
+def pallas_interpret() -> bool:
+    """Shared interpret-mode decision for every Pallas call site: the
+    interpreter off-TPU (same kernel code CPU-tested / TPU-compiled),
+    EXCEPT under ``NTT_FORCE_MOSAIC=1``, which forces the real Mosaic
+    lowering path so that ``jax.export(..., platforms=['tpu'])`` on a
+    CPU-only host exercises the full TPU lowering (tests/test_lowering.py
+    — catches the a54494f bug class without a chip). Read live so tests
+    can flip it per-case."""
+    if os.environ.get("NTT_FORCE_MOSAIC") == "1":
+        return False
+    import jax
+    return jax.default_backend() != "tpu"
 
 
 def block_legal(block_shape, array_shape) -> bool:

@@ -40,7 +40,7 @@ from .. import limbs
 from ..fields import Field, get_field
 from ..transforms.core import bit_reverse_axis1, twiddle_master
 from .mxu_ntt import compiler_params
-from .specs import assert_block_legal
+from .specs import assert_block_legal, pallas_interpret
 
 DEFAULT_BATCH_TILE = 128
 
@@ -191,7 +191,7 @@ def fused_stage_level(x, field: Field, inverse: bool, T3=None,
         return jnp.swapaxes(x, 1, 2) if transpose_out else x
     Bt = batch_tile or min(DEFAULT_BATCH_TILE, B)
     assert B % Bt == 0
-    interpret = jax.default_backend() != "tpu"
+    interpret = pallas_interpret()
     stage_tws = [jnp.asarray(t) for t in _stage_twiddles(field, m, inverse)]
     x = bit_reverse_axis1(x)
     call = _build_fused(field.name, m, B, Bt, T3 is not None, transpose_out,
@@ -212,7 +212,7 @@ def ntt_along_axis_pallas(x, field: Field, inverse: bool = False,
         return x
     Bt = batch_tile or min(DEFAULT_BATCH_TILE, B)
     assert B % Bt == 0, f"batch {B} must be divisible by tile {Bt}"
-    interpret = jax.default_backend() != "tpu"
+    interpret = pallas_interpret()
     stage_tws = [jnp.asarray(t) for t in _stage_twiddles(field, m, inverse)]
     x = bit_reverse_axis1(x)
     return _build(field.name, m, Bt, interpret)(x, stage_tws)

@@ -224,8 +224,12 @@ def _halves_stacked(x) -> jnp.ndarray:
 _LOOP_SCOPE = False
 
 #: only fields at least this wide switch (narrow-field unrolls are small
-#: and faster: no loop-carried state, better Mosaic scheduling)
-LOOP_MIN_HALVES = 12
+#: and faster: no loop-carried state, better Mosaic scheduling).
+#: NTT_LOOP_MIN_HALVES overrides — set 99 to force the unrolled round-2
+#: form everywhere (the production-kernel loop-vs-unroll TPU A/B; the
+#: loop form is REQUIRED only for the SUB256 multi-level compiles)
+LOOP_MIN_HALVES = int(
+    __import__("os").environ.get("NTT_LOOP_MIN_HALVES", "12"))
 
 
 class fori_limb_loops:
@@ -258,9 +262,14 @@ def _mont_mul_loop(x, y, field: Field):
     z1 = jnp.zeros((1,) + bb, dtype=jnp.uint32)
     t0 = jnp.zeros((L + 1,) + bb, dtype=jnp.uint32)
 
-    def body(i, t):
-        ai = jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
-        prod = ai * b                                   # [L, *bb]
+    # The loop reads one plane of ``a`` per iteration. Indexing with the
+    # traced loop variable would be a dynamic_slice — UNIMPLEMENTED in
+    # the Pallas TPU lowering (caught by tests/test_lowering.py) — so the
+    # stack rides the loop carry and ROLLS by one each iteration: the
+    # needed plane is always statically index 0.
+    def body(i, carry):
+        t, ar = carry
+        prod = ar[0] * b                                # [L, *bb]
         t = t + jnp.concatenate([prod & _MASK, z1], axis=0) \
               + jnp.concatenate([z1, prod >> HALF_BITS], axis=0)
         m = (t[0] * np0) & _MASK
@@ -268,9 +277,10 @@ def _mont_mul_loop(x, y, field: Field):
         t = t + jnp.concatenate([mp & _MASK, z1], axis=0) \
               + jnp.concatenate([z1, mp >> HALF_BITS], axis=0)
         carry0 = t[0] >> HALF_BITS
-        return jnp.concatenate([(t[1] + carry0)[None], t[2:], z1], axis=0)
+        t = jnp.concatenate([(t[1] + carry0)[None], t[2:], z1], axis=0)
+        return t, jnp.concatenate([ar[1:], ar[:1]], axis=0)
 
-    t = jax.lax.fori_loop(0, L, body, t0)
+    t, _ = jax.lax.fori_loop(0, L, body, (t0, a))
     out = []
     c = None
     for j in range(L):
@@ -297,18 +307,22 @@ def _mont_reduce_wide_loop(halves: list, field: Field, iters: int):
     np0 = np.uint32(field.np0)
     z1 = jnp.zeros((1,) + bshape, dtype=jnp.uint32)
 
-    def body(i, win):
+    # The incoming-plane stream Hp[Wn:] rides the loop carry and rolls by
+    # one per iteration so the read is statically index 0 (no
+    # dynamic_slice — unimplemented in the Pallas TPU lowering; see
+    # _mont_mul_loop).
+    def body(i, carry):
+        win, R = carry
         m = (win[0] * np0) & _MASK
         mp = jnp.stack([m * ph for ph in p_h], axis=0)  # [L, *b]
         win = win + jnp.concatenate([mp & _MASK, z1, z1], axis=0) \
                   + jnp.concatenate([z1, mp >> HALF_BITS, z1], axis=0)
         carry0 = win[0] >> HALF_BITS  # low half 0 by construction of m
-        incoming = jax.lax.dynamic_index_in_dim(Hp, i + Wn, 0,
-                                                keepdims=True)
-        win = jnp.concatenate([win[1:], incoming], axis=0)
-        return jnp.concatenate([(win[0] + carry0)[None], win[1:]], axis=0)
+        win = jnp.concatenate([win[1:], R[:1]], axis=0)
+        win = jnp.concatenate([(win[0] + carry0)[None], win[1:]], axis=0)
+        return win, jnp.concatenate([R[1:], R[:1]], axis=0)
 
-    win = jax.lax.fori_loop(0, iters, body, Hp[:Wn])
+    win, _ = jax.lax.fori_loop(0, iters, body, (Hp[:Wn], Hp[Wn:]))
     out = []
     c = None
     for j in range(L):
@@ -395,7 +409,7 @@ def mont_reduce_wide(halves: list, field: Field, iters: int):
     final conditional subtract.
     """
     L = field.n_halves
-    if (_LOOP_SCOPE and L >= LOOP_MIN_HALVES
+    if (_LOOP_SCOPE and L >= LOOP_MIN_HALVES and iters > 0
             and len(halves) <= iters + L + 2):
         return _mont_reduce_wide_loop(halves, field, iters)
     p_h = _field_halves(field)

@@ -1,0 +1,97 @@
+"""TPU-lowering checks on the CPU host (no chip required).
+
+The Pallas CPU interpreter skips the Mosaic lowering entirely, so a
+kernel that is illegal on TPU can pass every CPU test and then crash the
+driver on the real chip. That shipped twice: the round-2 deep-level
+twiddle BlockSpec (VERDICT r2 weak #1) and the round-3 in-kernel
+``dynamic_slice`` forms (unimplemented primitive in the Pallas TPU
+lowering — both the deep-twiddle offset slice and the fori-loop CIOS
+plane indexing), all caught by exactly this check before any TPU time.
+
+``jax.export(..., platforms=['tpu'])`` runs the full TPU lowering —
+including Pallas→Mosaic kernel serialization and its BlockSpec/primitive
+validation — on any host, in seconds. These tests lower the PRODUCTION
+runner graphs at the driver's own configs with ``NTT_FORCE_MOSAIC=1``
+(kernels/specs.pallas_interpret), so every Mosaic-lowering-visible
+illegality is a CPU test failure.
+
+Not covered (still chip-only): the Mosaic *compile* stage (VMEM
+overflow / compile-helper OOM) and numerical execution — those remain
+tools/healthcheck.py --deep territory.
+"""
+
+import pytest
+
+import jax
+import jax.export
+
+from ntt_tpu.api import get_runner, ramp_mont
+from ntt_tpu.fields import get_field
+
+
+def _lower(field_name: str, log_n: int, algo: str, inverse: bool = False,
+           coset: int | None = None):
+    f = get_field(field_name)
+    n = 1 << log_n
+    x = ramp_mont(f, n)
+    run, aux = get_runner(f, n, inverse, algo, True, coset)
+    jax.export.export(jax.jit(lambda v, a: run(v, a)),
+                      platforms=["tpu"])(x, aux)
+
+
+@pytest.fixture
+def force_mosaic(monkeypatch):
+    monkeypatch.setenv("NTT_FORCE_MOSAIC", "1")
+
+
+def test_lower_driver_headline_bls_2e18(force_mosaic):
+    """THE driver config: bench.py runs auto/BLS/2^18 — its graph must
+    lower for TPU. Covers the deep (rep=1024) twiddle path that crashed
+    round 2."""
+    _lower("bls12-381-fr", 18, "auto")
+
+
+def test_lower_bls_deep_forward_and_inverse(force_mosaic):
+    _lower("bls12-381-fr", 13, "auto")
+    _lower("bls12-381-fr", 13, "auto", inverse=True)
+
+
+def test_lower_narrow_deep_2e22(force_mosaic):
+    """The narrow-field driver config (small-proth 2^22 mxu_sub) with the
+    deep sub-peel level."""
+    _lower("small-proth", 22, "mxu_sub")
+
+
+def test_lower_coset(force_mosaic):
+    f = get_field("bls12-381-fr")
+    _lower("bls12-381-fr", 13, "auto", coset=f.generator)
+
+
+#: algorithms that hit Pallas kernels (Mosaic lowering risk); the pure
+#: jnp ladders (naive/stockham/fourstep*) lower through plain XLA and
+#: cost ~16s each to trace for BLS — covered for small-proth only
+_PALLAS_ALGOS = ("pallas", "pallas_fused", "mxu", "mxu_pallas",
+                 "mxu_fused", "mxu_chunked", "mxu_sub")
+
+
+def test_lower_registry_small(force_mosaic):
+    from ntt_tpu.api import ALGORITHMS
+    for algo in list(ALGORITHMS):
+        _lower("small-proth", 10, algo)
+
+
+def test_lower_registry_bls_pallas_algos(force_mosaic):
+    for algo in _PALLAS_ALGOS:
+        _lower("bls12-381-fr", 10, algo)
+
+
+def test_lower_sub256_peel(force_mosaic, monkeypatch):
+    """The SUB256 multi-level candidate (m=128 two-level peel for 256-bit
+    fields) must lower before any TPU A/B spends chip time on it."""
+    from ntt_tpu.transforms import mxu
+    monkeypatch.setattr(mxu, "SUB256_LOG", 7)
+    mxu._subbase_cache.clear()
+    try:
+        _lower("bls12-381-fr", 13, "mxu_sub")
+    finally:
+        mxu._subbase_cache.clear()

@@ -78,6 +78,12 @@ def _stages():
          {}, 3600),
         # (SUB256_LOG=8 / m=256 not probed: the VMEM tile check caps the
         # 16-half peel at m=128 — verified on CPU, effective_subbase=128)
+        # 6c. production-kernel CIOS form A/B: fori-loop (new default)
+        #     vs round-2 unrolled (NTT_LOOP_MIN_HALVES=99) — the loop
+        #     form shrank kernel IR ~16x but was never timed on TPU
+        ("cios_unrolled", [PY, "-u", shoot, "18", "bls12-381-fr",
+                           "mxu_chunked"],
+         {"NTT_LOOP_MIN_HALVES": "99"}, 3600),
         # 7. dimension_semantics A/B (VERDICT #4 stall isolation)
         ("dimsem_bls", [PY, "-u", shoot, "18", "bls12-381-fr", "mxu_sub"],
          {"NTT_DIMSEM": "parallel"}, 3600),
