@@ -159,16 +159,28 @@ def main():
         t0 = time.time()
         full_env = dict(os.environ)
         full_env.update(env)
-        with open(log, "a") as fh:
-            fh.write(f"\n==== {time.ctime()} env={env}\n")
-            fh.flush()
-            try:
-                rc = subprocess.run(
-                    argv, cwd=REPO, env=full_env, stdout=fh,
-                    stderr=subprocess.STDOUT, timeout=tmo).returncode
-            except subprocess.TimeoutExpired:
-                rc = -9
-                fh.write(f"\n==== TIMEOUT after {tmo}s\n")
+        # the time-shared tile throws sporadic transient failures ("TPU
+        # worker crashed", tunnel resets) where an immediate retry works
+        # — every stage except the tunnel probe gets one retry
+        attempts = 1 if name == "probe" else 2
+        for attempt in range(attempts):
+            with open(log, "a") as fh:
+                fh.write(f"\n==== {time.ctime()} env={env} "
+                         f"attempt={attempt + 1}\n")
+                fh.flush()
+                try:
+                    rc = subprocess.run(
+                        argv, cwd=REPO, env=full_env, stdout=fh,
+                        stderr=subprocess.STDOUT, timeout=tmo).returncode
+                except subprocess.TimeoutExpired:
+                    rc = -9
+                    fh.write(f"\n==== TIMEOUT after {tmo}s\n")
+            if rc == 0:
+                break
+            if attempt + 1 < attempts:
+                print(f"== {name}: rc={rc}, retrying once in 60s",
+                      flush=True)
+                time.sleep(60)
         wall = time.time() - t0
         tail = ""
         try:
