@@ -10,6 +10,7 @@ scales to device meshes via one all-to-all (``ntt_tpu.parallel``).
 
 from .fields import (BLS12_381_FR, BN254_FR, FIELDS, GOLDILOCKS, SMALL,
                      Field, get_field)
+from . import bigint
 from .limbs import from_ints, to_ints, to_mont, from_mont
 from .api import coset_intt, coset_ntt, intt, lde, ntt, polymul
 

@@ -1,0 +1,508 @@
+"""General fixed-width big-integer ops — the CGBN breadth layer.
+
+The reference vendors CGBN, whose public surface is far wider than the
+NTT call sites: div/rem, sqrt, gcd, modular inverse, accumulators, bit
+counting (/root/reference/include/cgbn/cgbn.h:85-425). Rounds 1-2 scoped
+those out; this module closes the gap TPU-natively: the same limb-major
+``uint32[W, *batch]`` layout as :mod:`ntt_tpu.limbs`, every op pure jnp,
+vectorized across the batch (lanes) and branch-free (``jnp.where``
+selects instead of CGBN's per-thread branches), with the long iterative
+algorithms (division, sqrt, gcd, binary inverse) as ``lax.fori_loop``
+bodies at the XLA level — these are host/orchestration utilities, not
+Pallas-kernel hot paths, so dynamic indexing is fine here.
+
+Design note (why not a CGBN translation): CGBN distributes limbs over
+warp threads and resolves carries with ballots
+(core/warp_resolver.cu:68-110); here all limbs of an element live in one
+lane's column, so carries ripple through a fixed-depth half-limb chain
+and "conditional" algorithm steps become vectorized selects over the
+whole batch.
+
+Semantics follow CGBN where defined:
+
+- values are unsigned, fixed width ``bits = 32 * W``; add/sub wrap mod
+  2^bits and also return the carry/borrow out (cgbn.h:88-97).
+- ``div_rem(x, y)`` with y == 0 returns q = 2^bits - 1, r = x (CGBN
+  raises a monitor error; a branch-free vector op needs a value — the
+  all-ones quotient is the documented sentinel).
+- ``modular_inverse(x, m)`` requires odd m and returns 0 where
+  gcd(x, m) != 1 (CGBN: error report, cgbn.h:417-420).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .fields import HALF_BITS, HALF_MASK
+
+_MASK = np.uint32(HALF_MASK)
+_ONE = np.uint32(1)
+
+
+# ---------------------------------------------------------------------------
+# Stacked-half helpers: uint32[W, *b] word planes <-> uint32[L=2W, *b]
+# little-endian 16-bit half planes (a single array, so lax.fori_loop can
+# carry it)
+# ---------------------------------------------------------------------------
+
+def _to_halves(x) -> jnp.ndarray:
+    lo = x & _MASK
+    hi = x >> HALF_BITS
+    return jnp.stack([lo, hi], axis=1).reshape((2 * x.shape[0],)
+                                               + x.shape[1:])
+
+
+def _to_words(h) -> jnp.ndarray:
+    L = h.shape[0]
+    pairs = h.reshape((L // 2, 2) + h.shape[1:])
+    return pairs[:, 0] | (pairs[:, 1] << HALF_BITS)
+
+
+def _add_h(a, b):
+    """(a + b) over stacked halves -> (halves, carry in {0,1}). Generic
+    carry ripple (entries may be lazy, < 2^31)."""
+    L = a.shape[0]
+    out = []
+    c = None
+    for j in range(L):
+        s = a[j] + b[j] if c is None else a[j] + b[j] + c
+        out.append(s & _MASK)
+        c = s >> HALF_BITS
+    return jnp.stack(out, axis=0), c
+
+
+def _sub_h(a, b):
+    """(a - b) wrapped -> (halves, borrow in {0,1})."""
+    L = a.shape[0]
+    out = []
+    brw = None
+    for j in range(L):
+        s = a[j] - b[j] if brw is None else a[j] - b[j] - brw
+        out.append(s & _MASK)
+        brw = (s >> HALF_BITS) & _ONE
+    return jnp.stack(out, axis=0), brw
+
+
+def _ge_h(a, b):
+    """a >= b as a bool array over the batch."""
+    _, brw = _sub_h(a, b)
+    return brw == 0
+
+
+def _shl1_h(h, bit_in=None):
+    """(h << 1) | bit_in over stacked halves (drops the top bit)."""
+    carry = jnp.concatenate(
+        [jnp.zeros((1,) + h.shape[1:], h.dtype) if bit_in is None
+         else bit_in[None].astype(h.dtype),
+         h[:-1] >> (HALF_BITS - 1)], axis=0)
+    return ((h << 1) & _MASK) | carry
+
+
+def _shr1_h(h, top_in=None):
+    """(h >> 1) with an optional incoming top bit."""
+    top = jnp.concatenate(
+        [h[1:] & _ONE,
+         jnp.zeros((1,) + h.shape[1:], h.dtype) if top_in is None
+         else top_in[None].astype(h.dtype)], axis=0)
+    return (h >> 1) | (top << (HALF_BITS - 1))
+
+
+def _is_zero_h(h):
+    return jnp.sum(h, axis=0) == 0   # halves < 2^16, L <= 64: no overflow
+
+
+# ---------------------------------------------------------------------------
+# add / sub / compare / bit counting  (cgbn.h:88-97, :156-166, :352-366)
+# ---------------------------------------------------------------------------
+
+def add(x, y):
+    """(x + y) mod 2^bits and the carry out (cgbn_add, cgbn.h:88)."""
+    s, c = _add_h(_to_halves(x), _to_halves(y))
+    return _to_words(s), c
+
+
+def sub(x, y):
+    """(x - y) mod 2^bits and the borrow out (cgbn_sub, cgbn.h:92)."""
+    d, brw = _sub_h(_to_halves(x), _to_halves(y))
+    return _to_words(d), brw
+
+
+def compare(x, y):
+    """Three-way unsigned compare -> int32 in {-1, 0, 1}
+    (cgbn_compare, cgbn.h:161)."""
+    d, brw = _sub_h(_to_halves(x), _to_halves(y))
+    lt = brw != 0
+    eq0 = _is_zero_h(d)
+    return jnp.where(lt, np.int32(-1), jnp.where(eq0, np.int32(0),
+                                                 np.int32(1)))
+
+
+def equals(x, y):
+    return jnp.all(x == y, axis=0)
+
+
+def pop_count(x):
+    """Population count over the full width (cgbn_pop_count,
+    cgbn.h:353)."""
+    v = x
+    m1, m2, m4 = np.uint32(0x55555555), np.uint32(0x33333333), \
+        np.uint32(0x0F0F0F0F)
+    v = v - ((v >> 1) & m1)
+    v = (v & m2) + ((v >> 2) & m2)
+    v = (v + (v >> 4)) & m4
+    per_word = (v * np.uint32(0x01010101)) >> 24
+    return jnp.sum(per_word.astype(jnp.int32), axis=0)
+
+
+def _clz32(w):
+    """Count leading zeros of each uint32 (branch-free binary probe)."""
+    n = jnp.zeros(w.shape, jnp.int32)
+    x = w
+    for sh in (16, 8, 4, 2, 1):
+        mask = x < (np.uint32(1) << (32 - sh))
+        n = n + jnp.where(mask, sh, 0)
+        x = jnp.where(mask, x << sh, x)
+    return jnp.where(w == 0, 32, n)
+
+
+def clz(x):
+    """Leading zeros over the full width (cgbn_clz, cgbn.h:357)."""
+    W = x.shape[0]
+    total = jnp.zeros(x.shape[1:], jnp.int32)
+    done = jnp.zeros(x.shape[1:], bool)
+    for w in range(W - 1, -1, -1):
+        c = _clz32(x[w])
+        total = jnp.where(done, total, total + c)
+        done = done | (x[w] != 0)
+    return total
+
+
+def ctz(x):
+    """Trailing zeros over the full width (cgbn_ctz, cgbn.h:361)."""
+    W = x.shape[0]
+    total = jnp.zeros(x.shape[1:], jnp.int32)
+    done = jnp.zeros(x.shape[1:], bool)
+    for w in range(W):
+        rev = _clz32(x[w] & (~x[w] + _ONE))  # isolate lowest set bit
+        c = jnp.where(x[w] == 0, 32, 31 - rev)
+        total = jnp.where(done, total, total + c)
+        done = done | (x[w] != 0)
+    return total
+
+
+# ---------------------------------------------------------------------------
+# multiply  (cgbn_mul / cgbn_mul_wide, cgbn.h:100-107, :243-249)
+# ---------------------------------------------------------------------------
+
+def mul_wide(x, y):
+    """Full 2W-word product (lo, hi) — schoolbook over 16-bit halves with
+    lazy uint32 accumulators (same discipline as limbs.mont_mul: each
+    entry gains < 2^32 per column pass; columns are carry-resolved
+    incrementally)."""
+    a, b = _to_halves(x), _to_halves(y)
+    L = a.shape[0]
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    # column-major accumulation with immediate carry push: acc[k] holds
+    # the k-th output half; process columns in order, resolving as we go
+    out = []
+    carry = jnp.zeros(bshape, jnp.uint32)  # < 2^32 always
+    carry_hi = jnp.zeros(bshape, jnp.uint32)
+    for k in range(2 * L):
+        acc_lo = carry
+        acc_hi = carry_hi
+        lo_i = max(0, k - L + 1)
+        for i in range(lo_i, min(k, L - 1) + 1):
+            prod = a[i] * b[k - i]            # exact < 2^32
+            acc_lo = acc_lo + (prod & _MASK)
+            acc_hi = acc_hi + (prod >> HALF_BITS)
+            # acc_lo <= L * (2^16-1) + 2^32-ish? keep it reduced:
+            acc_hi = acc_hi + (acc_lo >> HALF_BITS)
+            acc_lo = acc_lo & _MASK
+        out.append(acc_lo & _MASK)
+        total_hi = acc_hi + (acc_lo >> HALF_BITS)
+        carry = total_hi & _MASK
+        carry_hi = total_hi >> HALF_BITS
+    h = jnp.stack(out, axis=0)
+    return _to_words(h[:L]), _to_words(h[L:])
+
+
+def mul(x, y):
+    """(x * y) mod 2^bits (cgbn_mul, cgbn.h:100)."""
+    lo, _ = mul_wide(x, y)
+    return lo
+
+
+def sqr(x):
+    return mul(x, x)
+
+
+# ---------------------------------------------------------------------------
+# division / remainder  (cgbn_div_rem / cgbn_div / cgbn_rem,
+# cgbn.h:131-146; CGBN implements Barrett-style dlimbs estimation,
+# core_divide_*.cu — here a vectorized restoring long division:
+# bits iterations of shift/compare/conditional-subtract in ONE fori_loop)
+# ---------------------------------------------------------------------------
+
+def div_rem(x, y):
+    """(q, r) with x = q*y + r, 0 <= r < y. y == 0 -> q all-ones, r = x."""
+    X = _to_halves(x)
+    Y = _to_halves(y)
+    L = X.shape[0]
+    bits = HALF_BITS * L
+    bshape = jnp.broadcast_shapes(X.shape[1:], Y.shape[1:])
+    X = jnp.broadcast_to(X, (L,) + bshape)
+    Yx = jnp.concatenate([jnp.broadcast_to(Y, (L,) + bshape),
+                          jnp.zeros((1,) + bshape, jnp.uint32)], axis=0)
+    r0 = jnp.zeros((L + 1,) + bshape, jnp.uint32)  # extra top half
+    q0 = jnp.zeros((L,) + bshape, jnp.uint32)
+
+    def body(i, carry):
+        q, r = carry
+        bit_idx = bits - 1 - i
+        plane = jax.lax.dynamic_index_in_dim(X, bit_idx // HALF_BITS, 0,
+                                             keepdims=False)
+        sh = (bit_idx % HALF_BITS).astype(jnp.uint32)
+        bit = (plane >> sh) & _ONE
+        r = _shl1_h(r, bit)
+        diff, brw = _sub_h(r, Yx)
+        ge = brw == 0
+        r = jnp.where(ge, diff, r)
+        # set bit bit_idx of q
+        qplane = jax.lax.dynamic_index_in_dim(q, bit_idx // HALF_BITS, 0,
+                                              keepdims=False)
+        qplane = qplane | (jnp.where(ge, _ONE, np.uint32(0)) << sh)
+        q = jax.lax.dynamic_update_index_in_dim(q, qplane,
+                                                bit_idx // HALF_BITS, 0)
+        return q, r
+
+    q, r = jax.lax.fori_loop(0, bits, body, (q0, r0))
+    y_zero = _is_zero_h(Y)
+    q = jnp.where(y_zero, _MASK | (_MASK << HALF_BITS), _to_words(q))
+    r = jnp.where(y_zero, jnp.broadcast_to(x, q.shape), _to_words(r[:L]))
+    return q, r
+
+
+def div(x, y):
+    return div_rem(x, y)[0]
+
+
+def rem(x, y):
+    return div_rem(x, y)[1]
+
+
+# ---------------------------------------------------------------------------
+# integer square root  (cgbn_sqrt, cgbn.h:149-152; CGBN: Newton with
+# dlimbs estimates, core_sqrt_*.cu — here the restoring bit-pair method,
+# bits/2 fori_loop iterations)
+# ---------------------------------------------------------------------------
+
+def sqrt(x):
+    """floor(sqrt(x))."""
+    num0 = _to_halves(x)
+    L = num0.shape[0]
+    bits = HALF_BITS * L
+    bshape = num0.shape[1:]
+    res0 = jnp.zeros((L,) + bshape, jnp.uint32)
+    # bit starts at the highest even position: 1 << (bits - 2)
+    bit0 = jnp.zeros((L,) + bshape, jnp.uint32)
+    bit0 = bit0.at[L - 1].set(_ONE << (HALF_BITS - 2))
+
+    def shr2(h):
+        top = jnp.concatenate([h[1:] & np.uint32(3),
+                               jnp.zeros((1,) + bshape, jnp.uint32)],
+                              axis=0)
+        return (h >> 2) | (top << (HALF_BITS - 2))
+
+    def body(i, carry):
+        num, res, bit = carry
+        t, _ = _add_h(res, bit)
+        diff, brw = _sub_h(num, t)
+        ge = brw == 0
+        num = jnp.where(ge, diff, num)
+        res = _shr1_h(res)
+        rb, _ = _add_h(res, bit)
+        res = jnp.where(ge, rb, res)
+        return num, res, shr2(bit)
+
+    _, res, _ = jax.lax.fori_loop(0, bits // 2, body, (num0, res0, bit0))
+    return _to_words(res)
+
+
+# ---------------------------------------------------------------------------
+# gcd  (cgbn_gcd, cgbn.h:407-409; CGBN: Lehmer-style, core_gcd.cu —
+# here the branch-free binary GCD, 2*bits fori_loop iterations of
+# vectorized selects)
+# ---------------------------------------------------------------------------
+
+def _shl_const(h, k):
+    """h << k (static k), dropping overflow."""
+    L = h.shape[0]
+    planes, rem_bits = divmod(k, HALF_BITS)
+    if planes:
+        h = jnp.concatenate(
+            [jnp.zeros((planes,) + h.shape[1:], h.dtype), h[:L - planes]],
+            axis=0)
+    if rem_bits:
+        carry = jnp.concatenate(
+            [jnp.zeros((1,) + h.shape[1:], h.dtype),
+             h[:-1] >> (HALF_BITS - rem_bits)], axis=0)
+        h = ((h << rem_bits) & _MASK) | carry
+    return h
+
+
+def gcd(x, y):
+    """gcd(x, y); gcd(0, 0) = 0."""
+    a0 = _to_halves(x)
+    b0 = _to_halves(y)
+    L = a0.shape[0]
+    bits = HALF_BITS * L
+    bshape = jnp.broadcast_shapes(a0.shape[1:], b0.shape[1:])
+    a0 = jnp.broadcast_to(a0, (L,) + bshape)
+    b0 = jnp.broadcast_to(b0, (L,) + bshape)
+    sh0 = jnp.zeros(bshape, jnp.int32)
+
+    def body(i, carry):
+        a, b, sh = carry
+        az = _is_zero_h(a)
+        bz = _is_zero_h(b)
+        active = ~az & ~bz
+        a_even = (a[0] & _ONE) == 0
+        b_even = (b[0] & _ONE) == 0
+        both_even = active & a_even & b_even
+        only_a_even = active & a_even & ~b_even
+        only_b_even = active & ~a_even & b_even
+        both_odd = active & ~a_even & ~b_even
+        diff_ab, brw = _sub_h(a, b)
+        a_ge_b = brw == 0
+        diff_ba, _ = _sub_h(b, a)
+        # next a
+        na = jnp.where(both_even | only_a_even, _shr1_h(a),
+                       jnp.where(both_odd & a_ge_b, _shr1_h(diff_ab), a))
+        nb = jnp.where(both_even | only_b_even, _shr1_h(b),
+                       jnp.where(both_odd & ~a_ge_b, _shr1_h(diff_ba), b))
+        nsh = sh + jnp.where(both_even, 1, 0)
+        return na, nb, nsh
+
+    a, b, sh = jax.lax.fori_loop(0, 2 * bits, body, (a0, b0, sh0))
+    g, _ = _add_h(a, b)   # one of them is zero
+    # apply the common power of two: conditional static shifts over the
+    # binary digits of sh (per-element dynamic shift, branch-free)
+    k = 1
+    while k < bits:
+        gsh = _shl_const(g, k)
+        g = jnp.where((sh & k) != 0, gsh, g)
+        k <<= 1
+    return _to_words(g)
+
+
+# ---------------------------------------------------------------------------
+# modular inverse, odd modulus  (cgbn_modular_inverse, cgbn.h:417-420;
+# CGBN: Lehmer-style xgcd, core_modular_inverse.cu — here the binary
+# extended GCD with mod-m coefficient arithmetic, 2*bits iterations)
+# ---------------------------------------------------------------------------
+
+def modular_inverse(x, m):
+    """x^{-1} mod m for odd m; 0 where gcd(x, m) != 1.
+
+    Invariants: b*x = u (mod m), c*x = v (mod m); each step halves an
+    even u/v (coefficients halved mod m: even -> >>1, odd -> (+m)>>1) or
+    replaces the larger of two odds by half the difference. After 2*bits
+    iterations u = 0 and v = gcd(x, m)."""
+    u0 = _to_halves(x)
+    v0 = _to_halves(m)
+    L = u0.shape[0]
+    bits = HALF_BITS * L
+    bshape = jnp.broadcast_shapes(u0.shape[1:], v0.shape[1:])
+    u0 = jnp.broadcast_to(u0, (L,) + bshape)
+    v0 = jnp.broadcast_to(v0, (L,) + bshape)
+    M = v0
+    b0 = jnp.zeros((L,) + bshape, jnp.uint32).at[0].set(_ONE)
+    c0 = jnp.zeros((L,) + bshape, jnp.uint32)
+
+    def half_mod(t):
+        # t/2 mod m (m odd): even -> t>>1; odd -> (t+m)>>1 with the
+        # add's carry as the incoming top bit
+        s, cy = _add_h(t, M)
+        odd = (t[0] & _ONE) != 0
+        return jnp.where(odd, _shr1_h(s, cy), _shr1_h(t))
+
+    def sub_mod(p, q):
+        d, brw = _sub_h(p, q)
+        dm, _ = _add_h(d, M)
+        return jnp.where(brw != 0, dm, d)
+
+    def body(i, carry):
+        u, v, b, c = carry
+        active = ~_is_zero_h(u)
+        u_even = (u[0] & _ONE) == 0
+        v_even = (v[0] & _ONE) == 0
+        diff_uv, brw = _sub_h(u, v)
+        u_ge_v = brw == 0
+        diff_vu, _ = _sub_h(v, u)
+        case_u = active & u_even
+        case_v = active & ~u_even & v_even
+        case_ge = active & ~u_even & ~v_even & u_ge_v
+        case_lt = active & ~u_even & ~v_even & ~u_ge_v
+        nu = jnp.where(case_u, _shr1_h(u),
+                       jnp.where(case_ge, _shr1_h(diff_uv), u))
+        nv = jnp.where(case_v, _shr1_h(v),
+                       jnp.where(case_lt, _shr1_h(diff_vu), v))
+        b_half = half_mod(b)
+        bc_half = half_mod(sub_mod(b, c))
+        nb = jnp.where(case_u, b_half, jnp.where(case_ge, bc_half, b))
+        c_half = half_mod(c)
+        cb_half = half_mod(sub_mod(c, b))
+        nc = jnp.where(case_v, c_half, jnp.where(case_lt, cb_half, c))
+        return nu, nv, nb, nc
+
+    u, v, b, c = jax.lax.fori_loop(0, 2 * bits, body, (u0, v0, b0, c0))
+    one = jnp.zeros((L,) + bshape, jnp.uint32).at[0].set(_ONE)
+    is_unit = jnp.all(_to_words(v) == _to_words(one), axis=0)
+    return jnp.where(is_unit, _to_words(c),
+                     jnp.zeros((L // 2,) + bshape, jnp.uint32))
+
+
+# ---------------------------------------------------------------------------
+# accumulator  (cgbn_set/add/sub/resolve accumulator, cgbn.h:369-403;
+# CGBN keeps per-thread carry words and resolves once — here a lazy
+# half-plane sum resolved mod 2^bits)
+# ---------------------------------------------------------------------------
+
+class Accumulator:
+    """Deferred-carry accumulator: ``add``/``sub`` cost one uint32 add per
+    half plane (no carry chain); ``resolve`` ripples carries once and
+    wraps mod 2^bits. Up to ~2^15 deferred ops between resolves (each add
+    contributes < 2^17 per lazy entry; entries must stay < 2^32)."""
+
+    def __init__(self, W: int, batch_shape: tuple = ()):
+        self.L = 2 * W
+        self._acc = jnp.zeros((self.L,) + batch_shape, jnp.uint32)
+        self._ops = 0
+
+    def add(self, x):
+        self._acc = self._acc + _to_halves(x)
+        self._ops += 1
+        assert self._ops < (1 << 15), "resolve() before accumulator overflow"
+        return self
+
+    def sub(self, x):
+        """Subtract mod 2^bits: adds the two's complement
+        (per-half complement + 1, exact mod 2^bits)."""
+        h = _to_halves(x)
+        comp = (_MASK - h).at[0].add(_ONE)
+        self._acc = self._acc + comp
+        self._ops += 2
+        return self
+
+    def resolve(self):
+        """Canonical uint32[W, *batch] value mod 2^bits."""
+        out = []
+        c = None
+        for j in range(self.L):
+            s = self._acc[j] if c is None else self._acc[j] + c
+            out.append(s & _MASK)
+            c = s >> HALF_BITS
+        return _to_words(jnp.stack(out, axis=0))

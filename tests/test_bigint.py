@@ -1,0 +1,164 @@
+"""Property tests of the general big-integer layer (ntt_tpu.bigint) —
+the CGBN breadth surface (div/rem, sqrt, gcd, modular inverse,
+accumulator, bit counting; /root/reference/include/cgbn/cgbn.h:85-425)
+— against Python ints."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from ntt_tpu import bigint
+from ntt_tpu.fields import Field, get_field
+
+
+def _pack(vals, W):
+    arr = np.empty((W, len(vals)), dtype=np.uint32)
+    for j, v in enumerate(vals):
+        for w in range(W):
+            arr[w, j] = (v >> (32 * w)) & 0xFFFFFFFF
+    return arr
+
+
+def _unpack(x):
+    a = np.asarray(x, dtype=np.uint64)
+    W = a.shape[0]
+    out = []
+    for j in range(a.shape[1]):
+        v = 0
+        for w in range(W):
+            v |= int(a[w, j]) << (32 * w)
+        out.append(v)
+    return out
+
+
+def _rand(W, n, seed):
+    rng = random.Random(seed)
+    top = (1 << (32 * W)) - 1
+    special = [0, 1, 2, 3, top, top - 1, top >> 1, (top >> 1) + 1,
+               1 << (16 * W), (1 << (16 * W)) - 1]
+    vals = [v & top for v in special]
+    vals += [rng.randrange(top + 1) for _ in range(n - len(vals))]
+    return vals
+
+
+WIDTHS = [2, 8]   # 64-bit and 256-bit elements
+N = 64
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_add_sub_compare(W):
+    bits = 32 * W
+    xs, ys = _rand(W, N, 10 + W), _rand(W, N, 20 + W)
+    X, Y = _pack(xs, W), _pack(ys, W)
+    s, c = bigint.add(X, Y)
+    assert _unpack(s) == [(a + b) % (1 << bits) for a, b in zip(xs, ys)]
+    assert list(np.asarray(c)) == [(a + b) >> bits for a, b in zip(xs, ys)]
+    d, brw = bigint.sub(X, Y)
+    assert _unpack(d) == [(a - b) % (1 << bits) for a, b in zip(xs, ys)]
+    assert list(np.asarray(brw)) == [1 if a < b else 0
+                                     for a, b in zip(xs, ys)]
+    cmp = list(np.asarray(bigint.compare(X, Y)))
+    assert cmp == [(a > b) - (a < b) for a, b in zip(xs, ys)]
+    assert list(np.asarray(bigint.equals(X, X))) == [True] * N
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_mul_wide(W):
+    bits = 32 * W
+    xs, ys = _rand(W, N, 30 + W), _rand(W, N, 40 + W)
+    lo, hi = bigint.mul_wide(_pack(xs, W), _pack(ys, W))
+    prods = [a * b for a, b in zip(xs, ys)]
+    assert _unpack(lo) == [p % (1 << bits) for p in prods]
+    assert _unpack(hi) == [p >> bits for p in prods]
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_div_rem(W):
+    xs = _rand(W, N, 50 + W)
+    ys = [y if y else 7 for y in _rand(W, N, 60 + W)]
+    # include tiny and power-of-two divisors
+    ys[:6] = [1, 2, 3, 1 << 16, (1 << (16 * W)) + 1, xs[5] or 5]
+    q, r = bigint.div_rem(_pack(xs, W), _pack(ys, W))
+    assert _unpack(q) == [a // b for a, b in zip(xs, ys)]
+    assert _unpack(r) == [a % b for a, b in zip(xs, ys)]
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_div_by_zero_sentinel(W):
+    bits = 32 * W
+    xs = _rand(W, 16, 70 + W)
+    q, r = bigint.div_rem(_pack(xs, W), _pack([0] * 16, W))
+    assert _unpack(q) == [(1 << bits) - 1] * 16
+    assert _unpack(r) == xs
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_sqrt(W):
+    rng = random.Random(80 + W)
+    bits = 32 * W
+    xs = _rand(W, N, 80 + W)
+    # exact squares and off-by-one neighbours
+    sq = [rng.randrange(1 << (bits // 2)) ** 2 for _ in range(8)]
+    xs[:8] = [v % (1 << bits) for v in sq]
+    xs[8:12] = [max(v - 1, 0) for v in xs[:4]]
+    got = _unpack(bigint.sqrt(_pack(xs, W)))
+    assert got == [math.isqrt(a) for a in xs]
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_gcd(W):
+    rng = random.Random(90 + W)
+    xs, ys = _rand(W, N, 90 + W), _rand(W, N, 91 + W)
+    # shared even factors + zero cases
+    g = rng.randrange(1, 1 << 40) << 5
+    xs[:4] = [g * 3, g * 4, 0, xs[3]]
+    ys[:4] = [g * 5, g * 6, ys[2], 0]
+    got = _unpack(bigint.gcd(_pack(xs, W), _pack(ys, W)))
+    assert got == [math.gcd(a, b) for a, b in zip(xs, ys)]
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_modular_inverse(W):
+    rng = random.Random(100 + W)
+    bits = 32 * W
+    ms = [rng.randrange(3, 1 << bits) | 1 for _ in range(N)]
+    # a real prime modulus too (the BN254 field prime fits 256-bit)
+    if W == 8:
+        ms[0] = get_field("bn254-fr").p
+    xs = [rng.randrange(1 << bits) for _ in range(N)]
+    xs[1] = 0
+    xs[2] = ms[2] * 3 % (1 << bits)   # shares every factor of m
+    got = _unpack(bigint.modular_inverse(_pack(xs, W), _pack(ms, W)))
+    for a, m, r in zip(xs, ms, got):
+        if math.gcd(a, m) == 1:
+            assert r == pow(a, -1, m), (a, m)
+        else:
+            assert r == 0, (a, m)
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_bit_counting(W):
+    xs = _rand(W, N, 110 + W)
+    bits = 32 * W
+    X = _pack(xs, W)
+    assert list(np.asarray(bigint.pop_count(X))) == [
+        bin(a).count("1") for a in xs]
+    assert list(np.asarray(bigint.clz(X))) == [
+        bits - a.bit_length() for a in xs]
+    assert list(np.asarray(bigint.ctz(X))) == [
+        bits if a == 0 else (a & -a).bit_length() - 1 for a in xs]
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_accumulator(W):
+    bits = 32 * W
+    xs = _rand(W, N, 120 + W)
+    ys = _rand(W, N, 121 + W)
+    zs = _rand(W, N, 122 + W)
+    acc = bigint.Accumulator(W, (N,))
+    acc.add(_pack(xs, W)).add(_pack(ys, W)).sub(_pack(zs, W))
+    got = _unpack(acc.resolve())
+    assert got == [(a + b - c) % (1 << bits)
+                   for a, b, c in zip(xs, ys, zs)]
