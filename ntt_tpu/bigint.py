@@ -466,6 +466,137 @@ def modular_inverse(x, m):
 
 
 # ---------------------------------------------------------------------------
+# modular power, general modulus  (cgbn_modular_power, cgbn.h:421-425;
+# CGBN: Barrett square-and-multiply, impl_cuda.cu:938-970 — here
+# square-and-multiply with wide-division reduction; a utility op, NOT the
+# NTT hot path, which uses limbs.mont_pow / Montgomery throughout)
+# ---------------------------------------------------------------------------
+
+def modular_power(x, e, m):
+    """x^e mod m (m > 1; e a W-word exponent). O(bits) wide mul+rem
+    steps, each a fori_loop — correct and vectorized, not fast."""
+    W = x.shape[0]
+    bits = 32 * W
+    bshape = jnp.broadcast_shapes(x.shape[1:], e.shape[1:], m.shape[1:])
+    zeros = jnp.zeros((W,) + bshape, jnp.uint32)
+    m_ext = jnp.concatenate([jnp.broadcast_to(m, (W,) + bshape), zeros],
+                            axis=0)
+
+    def mulmod(a, b):
+        lo, hi = mul_wide(a, b)
+        wide = jnp.concatenate([lo, hi], axis=0)
+        return rem(wide, m_ext)[:W]
+
+    _, base0 = div_rem(jnp.broadcast_to(x, (W,) + bshape), m)
+    acc0 = zeros.at[0].set(_ONE)
+    _, acc0 = div_rem(acc0, m)   # 1 mod m (handles m == 1)
+    E = jnp.broadcast_to(e, (W,) + bshape)
+
+    def body(i, carry):
+        acc, base = carry
+        word = jax.lax.dynamic_index_in_dim(E, i // 32, 0, keepdims=False)
+        bit = (word >> (i % 32).astype(jnp.uint32)) & _ONE
+        mult = mulmod(acc, base)
+        acc = jnp.where(bit != 0, mult, acc)
+        return acc, mulmod(base, base)
+
+    acc, _ = jax.lax.fori_loop(0, bits, body, (acc0, base0))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# logical / shift / rotate / bit field ops  (cgbn.h:280-349, :169-173;
+# and/ior/xor are plain jnp ops on the word planes — kept as named
+# wrappers so the CGBN surface maps one-to-one)
+# ---------------------------------------------------------------------------
+
+def bitwise_and(x, y):
+    return x & y
+
+
+def bitwise_ior(x, y):
+    return x | y
+
+
+def bitwise_xor(x, y):
+    return x ^ y
+
+
+def bitwise_complement(x):
+    return ~x
+
+
+def shift_left(x, k: int):
+    """x << k mod 2^bits (static shift count, cgbn_shift_left
+    cgbn.h:315)."""
+    return _to_words(_shl_const(_to_halves(x), int(k)))
+
+
+def _shr_const(h, k):
+    L = h.shape[0]
+    planes, rem_bits = divmod(k, HALF_BITS)
+    if planes:
+        h = jnp.concatenate(
+            [h[planes:], jnp.zeros((planes,) + h.shape[1:], h.dtype)],
+            axis=0)
+    if rem_bits:
+        top = jnp.concatenate(
+            [h[1:] & ((_ONE << rem_bits) - 1),
+             jnp.zeros((1,) + h.shape[1:], h.dtype)], axis=0)
+        h = (h >> rem_bits) | (top << (HALF_BITS - rem_bits))
+    return h
+
+
+def shift_right(x, k: int):
+    """x >> k (static shift count, cgbn_shift_right cgbn.h:319)."""
+    return _to_words(_shr_const(_to_halves(x), int(k)))
+
+
+def rotate_left(x, k: int):
+    bits = 16 * 2 * x.shape[0]
+    k = int(k) % bits
+    h = _to_halves(x)
+    return _to_words(_shl_const(h, k) | _shr_const(h, bits - k)
+                     if k else h)
+
+
+def rotate_right(x, k: int):
+    bits = 16 * 2 * x.shape[0]
+    return rotate_left(x, (bits - int(k)) % bits)
+
+
+def bit_extract(x, start: int, length: int):
+    """Unsigned bit-field extract (cgbn_extract_bits, cgbn.h:172)."""
+    bits = 32 * x.shape[0]
+    length = min(int(length), bits - int(start))
+    h = _shr_const(_to_halves(x), int(start))
+    # mask to `length` bits
+    out = []
+    for j in range(h.shape[0]):
+        lo = j * HALF_BITS
+        if lo + HALF_BITS <= length:
+            out.append(h[j])
+        elif lo >= length:
+            out.append(jnp.zeros_like(h[j]))
+        else:
+            out.append(h[j] & np.uint32((1 << (length - lo)) - 1))
+    return _to_words(jnp.stack(out, axis=0))
+
+
+def bit_insert(x, y, start: int, length: int):
+    """Insert the low ``length`` bits of y into x at ``start``
+    (cgbn_insert_bits, cgbn.h:169)."""
+    bits = 32 * x.shape[0]
+    length = min(int(length), bits - int(start))
+    ones = jnp.full((x.shape[0],) + (1,) * (x.ndim - 1),
+                    np.uint32(0xFFFFFFFF))
+    mask = shift_left(bit_extract(jnp.broadcast_to(ones, x.shape), 0,
+                                  length), start)
+    yf = shift_left(bit_extract(y, 0, length), start)
+    return (x & ~mask) | yf
+
+
+# ---------------------------------------------------------------------------
 # accumulator  (cgbn_set/add/sub/resolve accumulator, cgbn.h:369-403;
 # CGBN keeps per-thread carry words and resolves once — here a lazy
 # half-plane sum resolved mod 2^bits)

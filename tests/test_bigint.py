@@ -152,6 +152,46 @@ def test_bit_counting(W):
 
 
 @pytest.mark.parametrize("W", WIDTHS)
+def test_modular_power(W):
+    rng = random.Random(130 + W)
+    bits = 32 * W
+    n = 12
+    ms = [rng.randrange(2, 1 << bits) for _ in range(n)]
+    ms[0] = 1 << (bits - 1)          # even modulus works too (not Barrett)
+    xs = [rng.randrange(1 << bits) for _ in range(n)]
+    es = [rng.randrange(1 << bits) for _ in range(n)]
+    es[1] = 0
+    got = _unpack(bigint.modular_power(_pack(xs, W), _pack(es, W),
+                                       _pack(ms, W)))
+    assert got == [pow(a, e, m) for a, e, m in zip(xs, es, ms)]
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_shift_rotate_bits(W):
+    bits = 32 * W
+    top = (1 << bits) - 1
+    xs = _rand(W, N, 140 + W)
+    X = _pack(xs, W)
+    for k in (0, 1, 7, 16, 31, 32, 100 % bits, bits - 1):
+        assert _unpack(bigint.shift_left(X, k)) == [
+            (a << k) & top for a in xs], k
+        assert _unpack(bigint.shift_right(X, k)) == [a >> k for a in xs], k
+        assert _unpack(bigint.rotate_left(X, k)) == [
+            ((a << k) | (a >> (bits - k))) & top if k else a
+            for a in xs], k
+        assert _unpack(bigint.rotate_right(X, k)) == [
+            ((a >> k) | (a << (bits - k))) & top if k else a
+            for a in xs], k
+    got = _unpack(bigint.bit_extract(X, 13, 37))
+    assert got == [(a >> 13) & ((1 << 37) - 1) for a in xs]
+    ys = _rand(W, N, 141 + W)
+    got = _unpack(bigint.bit_insert(X, _pack(ys, W), 13, 37))
+    m = ((1 << 37) - 1) << 13
+    assert got == [(a & ~m & top) | (((b & ((1 << 37) - 1)) << 13))
+                   for a, b in zip(xs, ys)]
+
+
+@pytest.mark.parametrize("W", WIDTHS)
 def test_accumulator(W):
     bits = 32 * W
     xs = _rand(W, N, 120 + W)
