@@ -184,11 +184,13 @@ def test_mxu_chunked_deep_level_ktw():
 
 def test_fused_subntt_rep_twiddle():
     """Deep-level in-kernel twiddle (rep>1): T3 is the i2-resolution
-    table in SUBLANE layout [W, B//rep, m], streamed at 1/rep the data
+    table in SUBLANE layout [W, B//rep, m], streamed at ~1/rep the data
     size through Mosaic-legal 8-aligned-row blocks. Must equal
-    base-transform-then-explicit-multiply across every tiling branch:
-    k_cols >= 8 (static offset), 1 < k_cols < 8 (dynamic offset inside
-    an 8-row block), and rep > Bt (single column, dynamic offset)."""
+    base-transform-then-explicit-multiply across every tiling regime:
+    k_cols >= 8 natively; Bt/8 < rep (incl. rep > Bt) via the caller's
+    table expansion to rep_e = Bt/8 (fused_subntt pre-expands so every
+    grid step statically owns its 8 rows — no in-kernel dynamic
+    addressing, which the Pallas TPU lowering lacks)."""
     import jax.numpy as jnp
     from ntt_tpu.kernels.mxu_level import fused_subntt
     from ntt_tpu.transforms.mxu import _base_matrix, _base_ntt
