@@ -67,10 +67,20 @@ def main() -> None:
     import threading
     init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "600"))
     devs: list = []
-    t = threading.Thread(target=lambda: devs.extend(jax.devices()),
-                         daemon=True)
+    err: list = []
+
+    def _init():
+        try:
+            devs.extend(jax.devices())
+        except Exception as e:  # noqa: BLE001 — reported below
+            err.append(e)
+
+    t = threading.Thread(target=_init, daemon=True)
     t.start()
     t.join(init_timeout)
+    if err:
+        print(f"# FATAL: backend init raised: {err[0]!r}", file=sys.stderr)
+        os._exit(3)
     if not devs:
         print(f"# FATAL: backend init exceeded {init_timeout:.0f}s "
               "(axon tunnel down?)", file=sys.stderr)

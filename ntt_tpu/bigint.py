@@ -338,8 +338,11 @@ def sqrt(x):
 # ---------------------------------------------------------------------------
 
 def _shl_const(h, k):
-    """h << k (static k), dropping overflow."""
+    """h << k (static k), dropping overflow; k >= width -> zeros
+    (CGBN's defined out-of-range shift result)."""
     L = h.shape[0]
+    if k >= HALF_BITS * L:
+        return jnp.zeros_like(h)
     planes, rem_bits = divmod(k, HALF_BITS)
     if planes:
         h = jnp.concatenate(
@@ -534,6 +537,8 @@ def shift_left(x, k: int):
 
 def _shr_const(h, k):
     L = h.shape[0]
+    if k >= HALF_BITS * L:
+        return jnp.zeros_like(h)
     planes, rem_bits = divmod(k, HALF_BITS)
     if planes:
         h = jnp.concatenate(
@@ -556,7 +561,7 @@ def rotate_left(x, k: int):
     bits = 16 * 2 * x.shape[0]
     k = int(k) % bits
     h = _to_halves(x)
-    return _to_words(_shl_const(h, k) | _shr_const(h, bits - k)
+    return _to_words((_shl_const(h, k) | _shr_const(h, bits - k))
                      if k else h)
 
 

@@ -41,20 +41,24 @@ from __future__ import annotations
 
 import os
 
-_KNOBS = ("NTT_FUSE_TW", "NTT_RADIX4", "NTT_RESIDENT_SPLIT",
-          "NTT_FACTOR_TW_MIN", "NTT_MXU_BASE_LOG", "NTT_MXU_SUBBASE_LOG",
-          "NTT_MXU_SUB256_LOG", "NTT_MXU_BT", "NTT_DIMSEM",
-          "NTT_LOOP_MIN_HALVES")
-
-_IMPORT_SNAPSHOT = tuple(os.environ.get(k) for k in _KNOBS)
-
-
 def config_key() -> tuple:
     """Tuple of every trace-time knob for compiled-graph cache keys.
 
-    Uses the import-time snapshot (module constants are read once at
-    import, so later env edits cannot change the traced graph anyway)
-    plus the live NTT_DEBUG value, which IS consulted on every trace.
+    Reads the ACTUAL module constants (not a separate env snapshot): the
+    constants are what the trace consults, so the key tracks reality
+    even when a knob module imported at a different time than config.py,
+    or when a test monkeypatches the constant directly (the env-snapshot
+    version could record '7' for a graph traced with 0 — a silent
+    wrong-variant A/B). NTT_RESIDENT_SPLIT and NTT_DEBUG are read live
+    from the environment at trace time by their consumers, so the key
+    reads them live too.
     """
-    return _IMPORT_SNAPSHOT + (os.environ.get("NTT_DEBUG", "0"),
-                               os.environ.get("NTT_FORCE_MOSAIC", "0"))
+    from . import api, limbs
+    from .kernels import mxu_ntt
+    from .transforms import core, mxu
+    return (mxu.FUSE_TW, core.RADIX4, api.FACTOR_TW_MIN, mxu.BASE_LOG,
+            mxu.SUBBASE_LOG, mxu.SUB256_LOG, mxu_ntt.DEFAULT_BATCH_TILE,
+            mxu_ntt.DIMSEM, limbs.LOOP_MIN_HALVES,
+            os.environ.get("NTT_RESIDENT_SPLIT", "0"),
+            os.environ.get("NTT_DEBUG", "0"),
+            os.environ.get("NTT_FORCE_MOSAIC", "0"))

@@ -119,7 +119,7 @@ def _build(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
 
 
 def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
-                n_inner, Bt, rep, k_cols):
+                n_inner, rep, k_cols):
     """Whole multi-level sub-NTT per batch tile: the peel-BASE recursion
     of transforms.mxu.ntt_axis_mxu traced INSIDE the kernel on VMEM
     values (single arithmetic surface), plus the optional decomposition
@@ -199,7 +199,7 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
     kern = functools.partial(
         _kernel_sub, field=field, m=m, inverse=inverse, has_tw=has_tw,
         transpose_out=transpose_out, sizes=sizes, n_inner=len(inner_tw),
-        Bt=Bt, rep=rep, k_cols=k_cols)
+        rep=rep, k_cols=k_cols)
 
     in_specs = [pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
                              memory_space=pltpu.VMEM)]
@@ -286,12 +286,19 @@ def fused_subntt(x3, field: Field, inverse: bool, mats, T3=None,
     if T3 is not None and rep > 1:
         assert T3.shape == (W, B // rep, m), (T3.shape, (W, B // rep, m))
         if rep > Bt // 8:
+            # Bt >= 16 keeps the expansion factor e <= rep/2, so the
+            # normalized rep stays > 1 (rep == 1 would route the
+            # sublane-layout table through the batch-resolution branch
+            # — a transposed-twiddle wrong-result for m == B);
+            # powers of two make e divide rep exactly
+            assert Bt >= 16 and Bt & (Bt - 1) == 0 \
+                and rep & (rep - 1) == 0, (Bt, rep)
             e = (8 * rep + Bt - 1) // Bt
             n2c = B // rep
             T3 = jnp.broadcast_to(
                 T3[:, :, None, :], (W, n2c, e, m)).reshape(W, n2c * e, m)
             rep //= e
-        assert Bt % rep == 0 and Bt // rep >= 8, (Bt, rep)
+        assert Bt % rep == 0 and Bt // rep >= 8 and rep > 1, (Bt, rep)
     interpret = pallas_interpret()
     call = _build_sub(field.name, m, B, Bt, T3 is not None, transpose_out,
                       inverse, interpret, rep=rep)
