@@ -85,6 +85,29 @@ def test_lower_registry_bls_pallas_algos(force_mosaic):
         _lower("bls12-381-fr", 10, algo)
 
 
+def test_lower_distributed(force_mosaic):
+    """The multi-chip shard_map graphs lower for TPU from the CPU mesh —
+    including the Pallas remote-DMA all-to-all (kernels/exchange.py),
+    whose execution needs real chips but whose Mosaic lowering does not."""
+    from ntt_tpu.parallel import make_dist_ntt, make_mesh, shard_for_ntt
+    mesh = make_mesh()
+    for field_name, algo, exchange in (
+            ("small-proth", None, None),
+            ("small-proth", None, "ring"),
+            ("small-proth", None, "pallas"),
+            ("bls12-381-fr", "mxu_sub", None)):
+        f = get_field(field_name)
+        n = 1 << 12
+        kw = {}
+        if algo:
+            kw["algorithm"] = algo
+        if exchange:
+            kw["exchange"] = exchange
+        fwd = make_dist_ntt(f, n, mesh, **kw)
+        x = shard_for_ntt(ramp_mont(f, n), f, mesh)
+        jax.export.export(jax.jit(fwd), platforms=["tpu"])(x)
+
+
 def test_lower_sub256_peel(force_mosaic, monkeypatch):
     """The SUB256 multi-level candidate (m=128 two-level peel for 256-bit
     fields) must lower before any TPU A/B spends chip time on it."""
