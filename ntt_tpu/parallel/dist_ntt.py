@@ -247,7 +247,7 @@ def _local_step(xb, idx_base, coset, mats, field: Field, n1: int, n2: int,
 def make_dist_ntt(field: Field, n: int, mesh: Mesh, inverse: bool = False,
                   mont_io: bool = True, algorithm: str = "jnp",
                   coset_shift: int | None = None,
-                  exchange: str = "all_to_all"):
+                  exchange: str = "all_to_all", donate: bool = False):
     """Build a jitted distributed NTT for (field, n, mesh).
 
     Takes uint32[W, n1, n2] sharded P(None, None, 'ntt') (see
@@ -256,6 +256,10 @@ def make_dist_ntt(field: Field, n: int, mesh: Mesh, inverse: bool = False,
     Montgomery-form I/O by default; ``mont_io=False`` adds conversion
     passes. ``coset_shift`` evaluates on the coset shift·<ω_n> (the inverse
     transform interpolates from that coset, including the 1/n scaling).
+    ``donate=True`` gives XLA the (sharded) input buffer for in-place
+    reuse — per-chip peak HBM matters most exactly at pod-scale sizes
+    (the single-buffer discipline of the reference SSIP,
+    /root/reference/src/GZKP-NTT.cu:1452-1558).
     """
     from ..fields import inv_mod
     from ..transforms.core import host_powers_fast
@@ -339,7 +343,7 @@ def make_dist_ntt(field: Field, n: int, mesh: Mesh, inverse: bool = False,
     # tables enter the jit as ARGUMENTS at call time (closing over them
     # would embed device constants — the exact compile bloat the aux
     # protocol exists to avoid, api.get_runner)
-    jitted = jax.jit(run)
+    jitted = jax.jit(run, donate_argnums=(0,) if donate else ())
     rest_args = (idx_base,) + mat_args + (tuple(coset) if coset else ())
     return lambda x: jitted(x, *rest_args)
 

@@ -27,6 +27,20 @@ def test_dist_forward_small(n_dev):
     assert got == oracle.ntt_golden(x, f)
 
 
+def test_dist_donated_buffer():
+    """donate=True on the distributed path: bit-exact and the sharded
+    input buffer is actually consumed (per-chip in-place semantics — the
+    reference SSIP single-buffer analog at pod scale)."""
+    f, n = nt.SMALL, 256
+    mesh = _mesh(4)
+    x = oracle.ramp(n, f)
+    Xs = shard_for_ntt(limbs.to_mont(nt.from_ints(x, f), f), f, mesh)
+    y = make_dist_ntt(f, n, mesh, donate=True)(Xs)
+    got = nt.to_ints(limbs.from_mont(unshard(y), f), f)
+    assert got == oracle.ntt_golden(x, f)
+    assert Xs.is_deleted(), "donated sharded input should be consumed"
+
+
 def test_dist_roundtrip_small():
     f, n = nt.SMALL, 256
     mesh = _mesh(4)
