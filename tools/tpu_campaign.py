@@ -78,6 +78,14 @@ def _stages():
          {}, 3600),
         # (SUB256_LOG=8 / m=256 not probed: the VMEM tile check caps the
         # 16-half peel at m=128 — verified on CPU, effective_subbase=128)
+        # 6d. fallback peel if m=128 still overflows the Mosaic compile
+        #     helper: m=64 (lowering + CPU bit-exactness pre-flighted)
+        ("sub256_m64_probe", [PY, "-u", hc, "bls12-381-fr", "13",
+                              "mxu_sub"],
+         {"NTT_MXU_SUB256_LOG": "6"}, 7200),
+        ("sub256_m64_b", [PY, "-u", shoot, "18", "bls12-381-fr",
+                          "mxu_sub"],
+         {"NTT_MXU_SUB256_LOG": "6"}, 3600),
         # 6c. production-kernel CIOS form A/B: fori-loop (new default)
         #     vs round-2 unrolled (NTT_LOOP_MIN_HALVES=99) — the loop
         #     form shrank kernel IR ~16x but was never timed on TPU
@@ -152,6 +160,11 @@ def main():
         if (name == "bls26_factored"
                 and state.get("bls26", {}).get("ok")):
             print("== bls26_factored: plain 2^26 ok, skip", flush=True)
+            continue
+        if (name.startswith("sub256_m64")
+                and state.get("sub256_probe", {}).get("ok")):
+            print(f"== {name}: m=128 peel compiled, skip fallback",
+                  flush=True)
             continue
         log = os.path.join(OUT, f"{name}.log")
         print(f"== {name}: start ({' '.join(argv[2:])}) env={env}",
