@@ -127,3 +127,18 @@ def test_kernel_builders_guard_their_specs():
     mats = {m: _base_matrix(f, m, False)}
     with pytest.raises(ValueError, match="Mosaic-illegal"):
         fused_subntt(X, f, False, mats, None, batch_tile=16)
+
+
+def test_config_key_tracks_module_constants(monkeypatch):
+    """The compiled-runner cache key must follow the ACTUAL knob module
+    constants (the values the trace consults) — an env snapshot taken at
+    config-import time recorded the wrong variant for in-process knob
+    changes and direct monkeypatches (round-3 self-review finding)."""
+    from ntt_tpu import config, limbs
+    from ntt_tpu.transforms import mxu
+    k0 = config.config_key()
+    monkeypatch.setattr(mxu, "SUB256_LOG", 7)
+    k1 = config.config_key()
+    assert k1 != k0
+    monkeypatch.setattr(limbs, "LOOP_MIN_HALVES", 99)
+    assert config.config_key() not in (k0, k1)
