@@ -110,9 +110,23 @@ def test_lower_distributed(force_mosaic):
 
 def test_lower_sub256_peel(force_mosaic, monkeypatch):
     """The SUB256 multi-level candidate (m=128 two-level peel for 256-bit
-    fields) must lower before any TPU A/B spends chip time on it."""
+    fields) must lower before any TPU A/B spends chip time on it —
+    forward AND inverse (the campaign's shootout drives both)."""
     from ntt_tpu.transforms import mxu
     monkeypatch.setattr(mxu, "SUB256_LOG", 7)
+    mxu._subbase_cache.clear()
+    try:
+        _lower("bls12-381-fr", 13, "mxu_sub")
+        _lower("bls12-381-fr", 13, "mxu_sub", inverse=True)
+    finally:
+        mxu._subbase_cache.clear()
+
+
+def test_lower_sub256_peel_m64_fallback(force_mosaic, monkeypatch):
+    """The m=64 fallback peel (campaign stages sub256_m64_*) used when the
+    Mosaic compile helper rejects m=128."""
+    from ntt_tpu.transforms import mxu
+    monkeypatch.setattr(mxu, "SUB256_LOG", 6)
     mxu._subbase_cache.clear()
     try:
         _lower("bls12-381-fr", 13, "mxu_sub")
