@@ -1,9 +1,10 @@
 """General fixed-width big-integer ops — the CGBN breadth layer.
 
 The reference vendors CGBN, whose public surface is far wider than the
-NTT call sites: div/rem, sqrt, gcd, modular inverse, accumulators, bit
-counting (/root/reference/include/cgbn/cgbn.h:85-425). Rounds 1-2 scoped
-those out; this module closes the gap TPU-natively: the same limb-major
+NTT call sites: div/rem (plain, wide, and Barrett), sqrt, gcd, modular
+inverse, accumulators, bit counting, ui32 ops, masked bitwise ops
+(/root/reference/include/cgbn/cgbn.h:85-512). Rounds 1-2 scoped those
+out; this module closes the full gap TPU-natively: the same limb-major
 ``uint32[W, *batch]`` layout as :mod:`ntt_tpu.limbs`, every op pure jnp,
 vectorized across the batch (lanes) and branch-free (``jnp.where``
 selects instead of CGBN's per-thread branches), with the long iterative
@@ -235,8 +236,24 @@ def mul(x, y):
     return lo
 
 
+def mul_high(x, y):
+    """High W words of the 2W-word product (cgbn_mul_high,
+    cgbn.h:104)."""
+    return mul_wide(x, y)[1]
+
+
 def sqr(x):
     return mul(x, x)
+
+
+def sqr_wide(x):
+    """(lo, hi) of x^2 (cgbn_sqr_wide, cgbn.h:247)."""
+    return mul_wide(x, x)
+
+
+def sqr_high(x):
+    """High W words of x^2 (cgbn_sqr_high, cgbn.h:112)."""
+    return mul_wide(x, x)[1]
 
 
 # ---------------------------------------------------------------------------
@@ -246,18 +263,19 @@ def sqr(x):
 # bits iterations of shift/compare/conditional-subtract in ONE fori_loop)
 # ---------------------------------------------------------------------------
 
-def div_rem(x, y):
-    """(q, r) with x = q*y + r, 0 <= r < y. y == 0 -> q all-ones, r = x."""
-    X = _to_halves(x)
-    Y = _to_halves(y)
-    L = X.shape[0]
-    bits = HALF_BITS * L
+def _restoring_div_h(X, Y):
+    """Restoring long division over stacked halves: X (N halves) / Y
+    (L halves, L <= N) -> (q: N halves, r: L halves). N*16 fori_loop
+    iterations of shift/compare/conditional-subtract."""
+    N = X.shape[0]
+    L = Y.shape[0]
+    bits = HALF_BITS * N
     bshape = jnp.broadcast_shapes(X.shape[1:], Y.shape[1:])
-    X = jnp.broadcast_to(X, (L,) + bshape)
+    X = jnp.broadcast_to(X, (N,) + bshape)
     Yx = jnp.concatenate([jnp.broadcast_to(Y, (L,) + bshape),
                           jnp.zeros((1,) + bshape, jnp.uint32)], axis=0)
     r0 = jnp.zeros((L + 1,) + bshape, jnp.uint32)  # extra top half
-    q0 = jnp.zeros((L,) + bshape, jnp.uint32)
+    q0 = jnp.zeros((N,) + bshape, jnp.uint32)
 
     def body(i, carry):
         q, r = carry
@@ -279,9 +297,16 @@ def div_rem(x, y):
         return q, r
 
     q, r = jax.lax.fori_loop(0, bits, body, (q0, r0))
+    return q, r[:L]
+
+
+def div_rem(x, y):
+    """(q, r) with x = q*y + r, 0 <= r < y. y == 0 -> q all-ones, r = x."""
+    Y = _to_halves(y)
+    q, r = _restoring_div_h(_to_halves(x), Y)
     y_zero = _is_zero_h(Y)
     q = jnp.where(y_zero, _MASK | (_MASK << HALF_BITS), _to_words(q))
-    r = jnp.where(y_zero, jnp.broadcast_to(x, q.shape), _to_words(r[:L]))
+    r = jnp.where(y_zero, jnp.broadcast_to(x, q.shape), _to_words(r))
     return q, r
 
 
@@ -293,15 +318,44 @@ def rem(x, y):
     return div_rem(x, y)[1]
 
 
+def div_rem_wide(lo, hi, y):
+    """(q, r) for the 2W-word numerator hi*2^bits + lo divided by y
+    (cgbn_div_rem_wide, cgbn.h:265). Defined for hi < y (CGBN's
+    precondition — the quotient must fit W words); for hi >= y the
+    returned q is the true quotient truncated to W words. y == 0 ->
+    q all-ones, r = lo (the div_rem sentinel)."""
+    Y = _to_halves(y)
+    L = Y.shape[0]
+    lo_h, hi_h = _to_halves(lo), _to_halves(hi)
+    bshape = jnp.broadcast_shapes(lo_h.shape[1:], hi_h.shape[1:])
+    X = jnp.concatenate([jnp.broadcast_to(lo_h, (L,) + bshape),
+                         jnp.broadcast_to(hi_h, (L,) + bshape)], axis=0)
+    q, r = _restoring_div_h(X, Y)
+    y_zero = _is_zero_h(Y)
+    qw = _to_words(q[:L])
+    q = jnp.where(y_zero, _MASK | (_MASK << HALF_BITS), qw)
+    r = jnp.where(y_zero, jnp.broadcast_to(lo, qw.shape), _to_words(r))
+    return q, r
+
+
+def div_wide(lo, hi, y):
+    return div_rem_wide(lo, hi, y)[0]
+
+
+def rem_wide(lo, hi, y):
+    return div_rem_wide(lo, hi, y)[1]
+
+
 # ---------------------------------------------------------------------------
 # integer square root  (cgbn_sqrt, cgbn.h:149-152; CGBN: Newton with
 # dlimbs estimates, core_sqrt_*.cu — here the restoring bit-pair method,
 # bits/2 fori_loop iterations)
 # ---------------------------------------------------------------------------
 
-def sqrt(x):
-    """floor(sqrt(x))."""
-    num0 = _to_halves(x)
+def _sqrt_h(num0):
+    """Restoring bit-pair square root over stacked halves ->
+    (result halves, remainder halves): result = floor(sqrt(x)),
+    remainder = x - result^2 (both the width of the input)."""
     L = num0.shape[0]
     bits = HALF_BITS * L
     bshape = num0.shape[1:]
@@ -327,8 +381,47 @@ def sqrt(x):
         res = jnp.where(ge, rb, res)
         return num, res, shr2(bit)
 
-    _, res, _ = jax.lax.fori_loop(0, bits // 2, body, (num0, res0, bit0))
-    return _to_words(res)
+    num, res, _ = jax.lax.fori_loop(0, bits // 2, body,
+                                    (num0, res0, bit0))
+    return res, num
+
+
+def sqrt(x):
+    """floor(sqrt(x))."""
+    return _to_words(_sqrt_h(_to_halves(x))[0])
+
+
+def sqrt_rem(x):
+    """(s, r) with s = floor(sqrt(x)), r = x - s^2 (cgbn_sqrt_rem,
+    cgbn.h:152)."""
+    res, num = _sqrt_h(_to_halves(x))
+    return _to_words(res), _to_words(num)
+
+
+def _wide_halves(lo, hi):
+    lo_h, hi_h = _to_halves(lo), _to_halves(hi)
+    L = lo_h.shape[0]
+    bshape = jnp.broadcast_shapes(lo_h.shape[1:], hi_h.shape[1:])
+    return jnp.concatenate([jnp.broadcast_to(lo_h, (L,) + bshape),
+                            jnp.broadcast_to(hi_h, (L,) + bshape)], axis=0)
+
+
+def sqrt_wide(lo, hi):
+    """floor(sqrt(hi*2^bits + lo)) — always fits W words
+    (cgbn_sqrt_wide, cgbn.h:273)."""
+    L = _to_halves(lo).shape[0]
+    res, _ = _sqrt_h(_wide_halves(lo, hi))
+    return _to_words(res[:L])
+
+
+def sqrt_rem_wide(lo, hi):
+    """(s, (r_lo, r_hi)) for the 2W-word radicand: s = floor(sqrt(.)),
+    r = radicand - s^2 <= 2s, returned wide to match CGBN's signature
+    (cgbn_sqrt_rem_wide, cgbn.h:277)."""
+    L = _to_halves(lo).shape[0]
+    res, num = _sqrt_h(_wide_halves(lo, hi))
+    return (_to_words(res[:L]),
+            (_to_words(num[:L]), _to_words(num[L:])))
 
 
 # ---------------------------------------------------------------------------
@@ -482,13 +575,11 @@ def modular_power(x, e, m):
     bits = 32 * W
     bshape = jnp.broadcast_shapes(x.shape[1:], e.shape[1:], m.shape[1:])
     zeros = jnp.zeros((W,) + bshape, jnp.uint32)
-    m_ext = jnp.concatenate([jnp.broadcast_to(m, (W,) + bshape), zeros],
-                            axis=0)
+    mb = jnp.broadcast_to(m, (W,) + bshape)
 
     def mulmod(a, b):
         lo, hi = mul_wide(a, b)
-        wide = jnp.concatenate([lo, hi], axis=0)
-        return rem(wide, m_ext)[:W]
+        return rem_wide(lo, hi, mb)   # exact for any hi (see div_rem_wide)
 
     _, base0 = div_rem(jnp.broadcast_to(x, (W,) + bshape), m)
     acc0 = zeros.at[0].set(_ONE)
@@ -642,3 +733,376 @@ class Accumulator:
             out.append(s & _MASK)
             c = s >> HALF_BITS
         return _to_words(jnp.stack(out, axis=0))
+
+
+# ---------------------------------------------------------------------------
+# set / swap / negate  (cgbn_set/swap/negate, cgbn.h:85-87, :97) — value
+# semantics here, so set/swap are identities returned for surface parity
+# ---------------------------------------------------------------------------
+
+def set_(x):
+    """Copy (cgbn_set) — values are immutable arrays, returned as-is."""
+    return x
+
+
+def swap(x, y):
+    """(y, x) (cgbn_swap) — functional swap."""
+    return y, x
+
+
+def negate(x):
+    """Two's-complement negate: (2^bits - x) mod 2^bits (cgbn_negate,
+    cgbn.h:97)."""
+    h = _to_halves(x)
+    comp = (_MASK - h).at[0].add(_ONE)
+    out = []
+    c = None
+    for j in range(h.shape[0]):
+        s = comp[j] if c is None else comp[j] + c
+        out.append(s & _MASK)
+        c = s >> HALF_BITS
+    return _to_words(jnp.stack(out, axis=0))
+
+
+# ---------------------------------------------------------------------------
+# ui32 family  (cgbn.h:176-240) — one uint32 operand (python int or a
+# batch-shaped uint32 array), vectorized over the batch like everything
+# else in this module
+# ---------------------------------------------------------------------------
+
+def get_ui32(x):
+    """Low word (cgbn_get_ui32, cgbn.h:178)."""
+    return x[0]
+
+
+def set_ui32(W: int, value, batch_shape: tuple = ()):
+    """A W-word value holding ``value`` (cgbn_set_ui32, cgbn.h:183)."""
+    out = jnp.zeros((W,) + batch_shape, jnp.uint32)
+    return out.at[0].set(jnp.asarray(value, jnp.uint32))
+
+
+def _ui32_operand(x, u):
+    """Broadcast a uint32 scalar/array operand to x's word layout."""
+    W = x.shape[0]
+    u = jnp.asarray(u, jnp.uint32)
+    bshape = jnp.broadcast_shapes(x.shape[1:], u.shape)
+    out = jnp.zeros((W,) + bshape, jnp.uint32)
+    return out.at[0].set(jnp.broadcast_to(u, bshape))
+
+
+def add_ui32(x, u):
+    """(x + u) mod 2^bits and the carry out (cgbn_add_ui32,
+    cgbn.h:188)."""
+    return add(x, _ui32_operand(x, u))
+
+
+def sub_ui32(x, u):
+    """(x - u) mod 2^bits and the borrow out (cgbn_sub_ui32,
+    cgbn.h:193)."""
+    return sub(x, _ui32_operand(x, u))
+
+
+def mul_ui32(x, u):
+    """(x * u) mod 2^bits and the overflow word (cgbn_mul_ui32,
+    cgbn.h:198 returns the high word)."""
+    lo, hi = mul_wide(x, _ui32_operand(x, u))
+    return lo, hi[0]
+
+
+def div_rem_ui32(x, u):
+    """(q: W words, r: uint32) = divmod(x, u). u == 0 -> q all-ones,
+    r = low word of x (the module's division-by-zero sentinel;
+    CGBN raises a monitor error). Bit-serial: 32*W fori_loop steps."""
+    W = x.shape[0]
+    bits = 32 * W
+    u = jnp.asarray(u, jnp.uint32)
+    bshape = jnp.broadcast_shapes(x.shape[1:], u.shape)
+    X = jnp.broadcast_to(x, (W,) + bshape)
+    U = jnp.broadcast_to(u, bshape)
+    q0 = jnp.zeros((W,) + bshape, jnp.uint32)
+    r0 = jnp.zeros(bshape, jnp.uint32)
+
+    def body(i, carry):
+        q, r = carry
+        bit_idx = bits - 1 - i
+        word = jax.lax.dynamic_index_in_dim(X, bit_idx // 32, 0,
+                                            keepdims=False)
+        sh = (bit_idx % 32).astype(jnp.uint32)
+        bit = (word >> sh) & _ONE
+        top = r >> 31                      # bit shifted past 2^32
+        r2 = (r << 1) | bit
+        ge = (top != 0) | (r2 >= U)
+        r = jnp.where(ge, r2 - U, r2)      # exact even when top was set
+        qw = jax.lax.dynamic_index_in_dim(q, bit_idx // 32, 0,
+                                          keepdims=False)
+        qw = qw | (jnp.where(ge, _ONE, np.uint32(0)) << sh)
+        q = jax.lax.dynamic_update_index_in_dim(q, qw, bit_idx // 32, 0)
+        return q, r
+
+    q, r = jax.lax.fori_loop(0, bits, body, (q0, r0))
+    zero = U == 0
+    q = jnp.where(zero, np.uint32(0xFFFFFFFF), q)
+    r = jnp.where(zero, X[0], r)
+    return q, r
+
+
+def div_ui32(x, u):
+    """x // u (cgbn_div_ui32 stores the quotient; its uint32 return is
+    the remainder — use div_rem_ui32 for both)."""
+    return div_rem_ui32(x, u)[0]
+
+
+def rem_ui32(x, u):
+    """x % u as uint32 (cgbn_rem_ui32, cgbn.h:207)."""
+    return div_rem_ui32(x, u)[1]
+
+
+def equals_ui32(x, u):
+    """x == u (cgbn_equals_ui32, cgbn.h:212)."""
+    u = jnp.asarray(u, jnp.uint32)
+    return (x[0] == u) & jnp.all(x[1:] == 0, axis=0)
+
+
+def compare_ui32(x, u):
+    """Three-way unsigned compare vs a uint32 (cgbn_compare_ui32,
+    cgbn.h:217)."""
+    u = jnp.asarray(u, jnp.uint32)
+    hi_nonzero = jnp.any(x[1:] != 0, axis=0)
+    w0 = jnp.broadcast_to(x[0], jnp.broadcast_shapes(x[0].shape, u.shape))
+    return jnp.where(hi_nonzero | (w0 > u), np.int32(1),
+                     jnp.where(w0 == u, np.int32(0), np.int32(-1)))
+
+
+def extract_bits_ui32(x, start: int, length: int):
+    """Low min(length, 32) bits of (x >> start) as uint32
+    (cgbn_extract_bits_ui32, cgbn.h:222)."""
+    h = _shr_const(_to_halves(x), int(start))
+    word = h[0] | (h[1] << HALF_BITS) if h.shape[0] > 1 else h[0]
+    length = min(int(length), 32)
+    if length >= 32:
+        return word
+    return word & np.uint32((1 << length) - 1)
+
+
+def insert_bits_ui32(x, start: int, length: int, value):
+    """Insert the low min(length, 32) bits of a uint32 ``value`` into x
+    at ``start`` (cgbn_insert_bits_ui32, cgbn.h:227)."""
+    return bit_insert(x, _ui32_operand(x, value), int(start),
+                      min(int(length), 32))
+
+
+def binary_inverse_ui32(u):
+    """u^{-1} mod 2^32 for odd u (cgbn_binary_inverse_ui32, cgbn.h:232;
+    the reference's Newton iteration, arith/math.cu:50-58)."""
+    u = jnp.asarray(u, jnp.uint32)
+    v = u
+    for _ in range(5):                 # 3 -> 6 -> 12 -> 24 -> 48 bits
+        v = v * (np.uint32(2) - u * v)
+    return v
+
+
+def gcd_ui32(x, u):
+    """gcd(x, u) as uint32; u == 0 -> 0 (the reference's exact edge
+    semantics, impl_cuda.cu:330-334: gcd_ui32(a, 0) = 0, else
+    ugcd(u, a % u))."""
+    u = jnp.asarray(u, jnp.uint32)
+    r = rem_ui32(x, u)
+    g = gcd(_ui32_operand(x, u)[:1], r[None])   # 1-word bigint gcd
+    return jnp.where(u == 0, np.uint32(0), g[0])
+
+
+# ---------------------------------------------------------------------------
+# masked bitwise ops + select  (cgbn.h:280-311; reference mask semantics
+# from impl_mpz.cc make_mask: numbits in [0, bits) -> low ``numbits``
+# ones; in (-bits, 0) -> high ``|numbits|`` ones; else all ones)
+# ---------------------------------------------------------------------------
+
+def _mask_words(W: int, numbits: int) -> np.ndarray:
+    bits = 32 * W
+    numbits = int(numbits)
+    if 0 <= numbits < bits:
+        val = (1 << numbits) - 1
+    elif -bits < numbits < 0:
+        val = ((1 << -numbits) - 1) << (bits + numbits)
+    else:
+        val = (1 << bits) - 1
+    return np.array([(val >> (32 * w)) & 0xFFFFFFFF for w in range(W)],
+                    dtype=np.uint32)
+
+
+def _mask_like(x, numbits: int):
+    m = _mask_words(x.shape[0], numbits)
+    return jnp.asarray(m.reshape((x.shape[0],) + (1,) * (x.ndim - 1)))
+
+
+def bitwise_mask_copy(W: int, numbits: int, batch_shape: tuple = ()):
+    """The mask itself (cgbn_bitwise_mask_copy, cgbn.h:292)."""
+    m = _mask_words(W, numbits)
+    return jnp.broadcast_to(
+        jnp.asarray(m.reshape((W,) + (1,) * len(batch_shape))),
+        (W,) + batch_shape)
+
+
+def bitwise_mask_and(x, numbits: int):
+    return x & _mask_like(x, numbits)
+
+
+def bitwise_mask_ior(x, numbits: int):
+    return x | _mask_like(x, numbits)
+
+
+def bitwise_mask_xor(x, numbits: int):
+    return x ^ _mask_like(x, numbits)
+
+
+def bitwise_mask_select(clear, set_val, numbits: int):
+    """Bits where the mask is 1 come from ``set_val``, the rest from
+    ``clear`` (cgbn_bitwise_mask_select, cgbn.h:308)."""
+    m = _mask_like(clear, numbits)
+    return (clear & ~m) | (set_val & m)
+
+
+def bitwise_select(clear, set_val, select):
+    """Per-bit select (cgbn_bitwise_select, cgbn.h:288)."""
+    return (clear & ~select) | (set_val & select)
+
+
+# ---------------------------------------------------------------------------
+# binary inverse mod 2^bits  (cgbn_binary_inverse, cgbn.h:411-414;
+# reference: Newton iteration, core_binary_inverse.cu:28-78)
+# ---------------------------------------------------------------------------
+
+def binary_inverse(x):
+    """x^{-1} mod 2^bits for odd x. Newton: v <- v*(2 - x*v) doubles
+    the correct low bits each step; log2(bits)+1 full-width products."""
+    W = x.shape[0]
+    bits = 32 * W
+    v = set_ui32(W, binary_inverse_ui32(x[0]), x.shape[1:])  # 32 bits
+    correct = 32
+    two = set_ui32(W, 2, x.shape[1:])
+    while correct < bits:
+        xv = mul(x, v)
+        t, _ = sub(two, xv)
+        v = mul(v, t)
+        correct *= 2
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Barrett division  (cgbn.h:455-488; reference algorithm
+# impl_cuda.cu:1062-1310: approx = floor((2^(2b)-1)/(d << clz(d))) - 2^b,
+# then q^ = mulhi(high, approx) + high + 3 with a small correction loop —
+# O(1) wide multiplies instead of the restoring division's b steps)
+# ---------------------------------------------------------------------------
+
+def _shl_dyn(h, k):
+    """h << k for a per-element int32 shift array (conditional static
+    shifts over k's binary digits)."""
+    total = HALF_BITS * h.shape[0]
+    j = 1
+    while j <= total:
+        h = jnp.where((k & j) != 0, _shl_const(h, j), h)
+        j <<= 1
+    return h
+
+
+def _shr_dyn(h, k):
+    """h >> k for a per-element int32 shift array."""
+    total = HALF_BITS * h.shape[0]
+    j = 1
+    while j <= total:
+        h = jnp.where((k & j) != 0, _shr_const(h, j), h)
+        j <<= 1
+    return h
+
+
+def barrett_approximation(d):
+    """(approx, shift) for Barrett division by d (cgbn_barrett_
+    approximation, cgbn.h:457): shift = clz(d), approx =
+    floor((2^(2b) - 1) / (d << shift)) - 2^b. d == 0 -> approx all-ones,
+    shift = bits (CGBN's 0xFFFFFFFF error return)."""
+    dh = _to_halves(d)
+    L = dh.shape[0]
+    s = clz(d)
+    d_norm = _shl_dyn(dh, s)
+    ones = jnp.broadcast_to(jnp.full((L,) + dh.shape[1:], _MASK,
+                                     jnp.uint32), d_norm.shape)
+    num = jnp.concatenate([ones, d_norm ^ _MASK], axis=0)
+    q, _ = _restoring_div_h(num, d_norm)
+    approx = _to_words(q[:L])
+    d_zero = _is_zero_h(dh)
+    approx = jnp.where(d_zero, _MASK | (_MASK << HALF_BITS), approx)
+    return approx, s
+
+
+def _barrett_core(num2, denom, approx, shift):
+    """Shared Barrett quotient/remainder over a 2L-half numerator.
+    Returns (q words, r halves[:L]). Preconditions: denom != 0 and the
+    true quotient < 2^bits (guaranteed for the non-wide entry points;
+    the wide ones require num_hi < denom, as in CGBN)."""
+    L = num2.shape[0] // 2
+    W = L // 2
+    bits = HALF_BITS * L
+    # high = floor(num / 2^(bits - shift)) — < 2^bits by precondition
+    high = _to_words(_shr_dyn(num2, bits - shift)[:L])
+    # q^ = floor(high * (approx + 2^bits) / 2^bits) + 3, saturated
+    mh = mul_high(high, approx)
+    qhat, c1 = add(mh, high)
+    qhat, c2 = add_ui32(qhat, 3)
+    sat = (c1 + c2) != 0
+    qhat = jnp.where(sat, np.uint32(0xFFFFFFFF), qhat)
+    # t = num - q^ * denom  (wide, tracked with an explicit sign flag)
+    plo, phi = mul_wide(qhat, denom)
+    prod = jnp.concatenate([_to_halves(plo), _to_halves(phi)], axis=0)
+    t, brw = _sub_h(num2, prod)
+    neg = brw != 0
+    d_ext = jnp.concatenate(
+        [jnp.broadcast_to(_to_halves(denom), (L,) + t.shape[1:]),
+         jnp.zeros((L,) + t.shape[1:], jnp.uint32)], axis=0)
+    subs = jnp.zeros(t.shape[1:], jnp.uint32)
+    # q^ - q <= 4 (approx floor + the +3 overshoot); 8 conditional
+    # correction steps is comfortably past the bound
+    for _ in range(8):
+        t2, cy = _add_h(t, d_ext)
+        t = jnp.where(neg, t2, t)
+        subs = subs + jnp.where(neg, _ONE, np.uint32(0))
+        neg = neg & (cy == 0)
+    q, _ = sub(qhat, jnp.zeros((W,) + subs.shape,
+                               jnp.uint32).at[0].set(subs))
+    return q, t[:L]
+
+
+def barrett_div_rem(num, denom, approx, shift):
+    """(q, r) = divmod(num, denom) using a precomputed
+    barrett_approximation (cgbn_barrett_div_rem, cgbn.h:470)."""
+    nh = _to_halves(num)
+    L = nh.shape[0]
+    bshape = jnp.broadcast_shapes(nh.shape[1:], denom.shape[1:],
+                                  approx.shape[1:])
+    num2 = jnp.concatenate([jnp.broadcast_to(nh, (L,) + bshape),
+                            jnp.zeros((L,) + bshape, jnp.uint32)], axis=0)
+    q, r = _barrett_core(num2, denom, approx, shift)
+    return q, _to_words(r)
+
+
+def barrett_div(num, denom, approx, shift):
+    return barrett_div_rem(num, denom, approx, shift)[0]
+
+
+def barrett_rem(num, denom, approx, shift):
+    return barrett_div_rem(num, denom, approx, shift)[1]
+
+
+def barrett_div_rem_wide(lo, hi, denom, approx, shift):
+    """Wide Barrett divmod (cgbn_barrett_div_rem_wide, cgbn.h:485):
+    requires hi < denom so the quotient fits W words."""
+    q, r = _barrett_core(_wide_halves(lo, hi), denom, approx, shift)
+    return q, _to_words(r)
+
+
+def barrett_div_wide(lo, hi, denom, approx, shift):
+    return barrett_div_rem_wide(lo, hi, denom, approx, shift)[0]
+
+
+def barrett_rem_wide(lo, hi, denom, approx, shift):
+    return barrett_div_rem_wide(lo, hi, denom, approx, shift)[1]

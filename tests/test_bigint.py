@@ -192,6 +192,187 @@ def test_shift_rotate_bits(W):
 
 
 @pytest.mark.parametrize("W", WIDTHS)
+def test_negate_mul_high_sqr(W):
+    bits = 32 * W
+    xs, ys = _rand(W, N, 150 + W), _rand(W, N, 151 + W)
+    X, Y = _pack(xs, W), _pack(ys, W)
+    assert _unpack(bigint.negate(X)) == [(-a) % (1 << bits) for a in xs]
+    assert _unpack(bigint.mul_high(X, Y)) == [
+        (a * b) >> bits for a, b in zip(xs, ys)]
+    assert _unpack(bigint.sqr(X)) == [a * a % (1 << bits) for a in xs]
+    lo, hi = bigint.sqr_wide(X)
+    assert _unpack(lo) == [a * a % (1 << bits) for a in xs]
+    assert _unpack(hi) == [(a * a) >> bits for a in xs]
+    assert _unpack(bigint.sqr_high(X)) == [(a * a) >> bits for a in xs]
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_div_rem_wide(W):
+    bits = 32 * W
+    rng = random.Random(160 + W)
+    ys = [y if y else 7 for y in _rand(W, N, 161 + W)]
+    ys[0] = 1
+    # hi < y (CGBN's precondition: the quotient fits W words)
+    his = [rng.randrange(y) for y in ys]
+    los = _rand(W, N, 162 + W)
+    nums = [(h << bits) | l for h, l in zip(his, los)]
+    q, r = bigint.div_rem_wide(_pack(los, W), _pack(his, W), _pack(ys, W))
+    assert _unpack(q) == [n // y for n, y in zip(nums, ys)]
+    assert _unpack(r) == [n % y for n, y in zip(nums, ys)]
+    # remainder stays exact even when hi >= y (quotient truncates)
+    q, r = bigint.div_rem_wide(_pack(los[:8], W), _pack(ys[:8], W),
+                               _pack(ys[:8], W))
+    wides = [(y << bits) | l for l, y in zip(los[:8], ys[:8])]
+    assert _unpack(r) == [n % y for n, y in zip(wides, ys[:8])]
+    # zero divisor sentinel
+    q, r = bigint.div_rem_wide(_pack(los[:4], W), _pack(his[:4], W),
+                               _pack([0] * 4, W))
+    assert _unpack(q) == [(1 << bits) - 1] * 4
+    assert _unpack(r) == los[:4]
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_sqrt_rem_and_wide(W):
+    bits = 32 * W
+    rng = random.Random(170 + W)
+    xs = _rand(W, N, 170 + W)
+    s, r = bigint.sqrt_rem(_pack(xs, W))
+    assert _unpack(s) == [math.isqrt(a) for a in xs]
+    assert _unpack(r) == [a - math.isqrt(a) ** 2 for a in xs]
+    # wide: radicand up to 2^(2*bits)
+    nums = [rng.randrange(1 << (2 * bits)) for _ in range(N)]
+    nums[:3] = [0, (1 << (2 * bits)) - 1, (1 << bits) ** 2 >> 2]
+    los = [v % (1 << bits) for v in nums]
+    his = [v >> bits for v in nums]
+    got = _unpack(bigint.sqrt_wide(_pack(los, W), _pack(his, W)))
+    assert got == [math.isqrt(v) for v in nums]
+    s, (rlo, rhi) = bigint.sqrt_rem_wide(_pack(los, W), _pack(his, W))
+    assert _unpack(s) == [math.isqrt(v) for v in nums]
+    rems = [v - math.isqrt(v) ** 2 for v in nums]
+    assert _unpack(rlo) == [v % (1 << bits) for v in rems]
+    assert _unpack(rhi) == [v >> bits for v in rems]
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_ui32_family(W):
+    bits = 32 * W
+    top = (1 << bits) - 1
+    rng = random.Random(180 + W)
+    xs = _rand(W, N, 180 + W)
+    us = [rng.randrange(1 << 32) for _ in range(N)]
+    us[:4] = [0, 1, 2, 0xFFFFFFFF]
+    X = _pack(xs, W)
+    U = np.array(us, dtype=np.uint32)
+    assert list(np.asarray(bigint.get_ui32(X))) == [
+        a & 0xFFFFFFFF for a in xs]
+    assert _unpack(bigint.set_ui32(W, U, (N,))) == us
+    s, c = bigint.add_ui32(X, U)
+    assert _unpack(s) == [(a + u) % (1 << bits) for a, u in zip(xs, us)]
+    assert list(np.asarray(c)) == [(a + u) >> bits for a, u in zip(xs, us)]
+    d, brw = bigint.sub_ui32(X, U)
+    assert _unpack(d) == [(a - u) % (1 << bits) for a, u in zip(xs, us)]
+    p, hi = bigint.mul_ui32(X, U)
+    assert _unpack(p) == [(a * u) % (1 << bits) for a, u in zip(xs, us)]
+    assert list(np.asarray(hi)) == [
+        ((a * u) >> bits) & 0xFFFFFFFF for a, u in zip(xs, us)]
+    vs = [u if u else 3 for u in us]
+    V = np.array(vs, dtype=np.uint32)
+    q, r = bigint.div_rem_ui32(X, V)
+    assert _unpack(q) == [a // v for a, v in zip(xs, vs)]
+    assert list(np.asarray(r)) == [a % v for a, v in zip(xs, vs)]
+    # div-by-zero sentinel: q all-ones, r = low word
+    q0, r0 = bigint.div_rem_ui32(X[:, :4], np.zeros(4, np.uint32))
+    assert _unpack(q0) == [top] * 4
+    assert list(np.asarray(r0)) == [a & 0xFFFFFFFF for a in xs[:4]]
+    assert list(np.asarray(bigint.equals_ui32(X, U))) == [
+        a == u for a, u in zip(xs, us)]
+    assert list(np.asarray(bigint.compare_ui32(X, U))) == [
+        (a > u) - (a < u) for a, u in zip(xs, us)]
+    got = list(np.asarray(bigint.extract_bits_ui32(X, 13, 27)))
+    assert got == [(a >> 13) & ((1 << 27) - 1) for a in xs]
+    got = _unpack(bigint.insert_bits_ui32(X, 13, 27, U))
+    m = ((1 << 27) - 1) << 13
+    assert got == [(a & ~m & top) | ((u & ((1 << 27) - 1)) << 13)
+                   for a, u in zip(xs, us)]
+    odds = np.array([u | 1 for u in us], dtype=np.uint32)
+    inv = list(np.asarray(bigint.binary_inverse_ui32(odds)))
+    assert inv == [pow(u | 1, -1, 1 << 32) for u in us]
+    assert list(np.asarray(bigint.gcd_ui32(X, U))) == [
+        0 if u == 0 else math.gcd(a, u) for a, u in zip(xs, us)]
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_binary_inverse(W):
+    bits = 32 * W
+    xs = [a | 1 for a in _rand(W, N, 190 + W)]
+    got = _unpack(bigint.binary_inverse(_pack(xs, W)))
+    assert got == [pow(a, -1, 1 << bits) for a in xs]
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_barrett(W):
+    bits = 32 * W
+    rng = random.Random(200 + W)
+    ds = [d if d else 7 for d in _rand(W, N, 200 + W)]
+    ds[:5] = [1, 2, 3, (1 << (bits - 1)) + 1, (1 << bits) - 1]
+    D = _pack(ds, W)
+    approx, shift = bigint.barrett_approximation(D)
+    # approximation contract: floor((2^(2b)-1) / (d << clz)) - 2^b
+    got_a = _unpack(approx)
+    got_s = list(np.asarray(shift))
+    for d, a, s in zip(ds, got_a, got_s):
+        s_true = bits - d.bit_length()
+        assert s == s_true, d
+        assert a == ((1 << (2 * bits)) - 1) // (d << s_true) - (1 << bits)
+    # div_rem via the approximation
+    xs = _rand(W, N, 201 + W)
+    q, r = bigint.barrett_div_rem(_pack(xs, W), D, approx, shift)
+    assert _unpack(q) == [a // d for a, d in zip(xs, ds)]
+    assert _unpack(r) == [a % d for a, d in zip(xs, ds)]
+    # wide: hi < d
+    his = [rng.randrange(d) for d in ds]
+    los = _rand(W, N, 202 + W)
+    nums = [(h << bits) | l for h, l in zip(his, los)]
+    q, r = bigint.barrett_div_rem_wide(_pack(los, W), _pack(his, W),
+                                       D, approx, shift)
+    assert _unpack(q) == [v // d for v, d in zip(nums, ds)]
+    assert _unpack(r) == [v % d for v, d in zip(nums, ds)]
+
+
+@pytest.mark.parametrize("W", WIDTHS)
+def test_masks_and_select(W):
+    bits = 32 * W
+    top = (1 << bits) - 1
+    xs, ys, zs = _rand(W, N, 210 + W), _rand(W, N, 211 + W), \
+        _rand(W, N, 212 + W)
+    X, Y, Z = _pack(xs, W), _pack(ys, W), _pack(zs, W)
+
+    def mask_val(nb):
+        if 0 <= nb < bits:
+            return (1 << nb) - 1
+        if -bits < nb < 0:
+            return ((1 << -nb) - 1) << (bits + nb)
+        return top
+
+    for nb in (0, 1, 13, 32, bits - 1, bits, -1, -13, -bits, 2 * bits):
+        m = mask_val(nb)
+        assert _unpack(bigint.bitwise_mask_copy(W, nb, (N,))) == [m] * N, nb
+        assert _unpack(bigint.bitwise_mask_and(X, nb)) == [
+            a & m for a in xs], nb
+        assert _unpack(bigint.bitwise_mask_ior(X, nb)) == [
+            a | m for a in xs], nb
+        assert _unpack(bigint.bitwise_mask_xor(X, nb)) == [
+            a ^ m for a in xs], nb
+        assert _unpack(bigint.bitwise_mask_select(X, Y, nb)) == [
+            (a & ~m & top) | (b & m) for a, b in zip(xs, ys)], nb
+    assert _unpack(bigint.bitwise_select(X, Y, Z)) == [
+        (a & ~s & top) | (b & s) for a, b, s in zip(xs, ys, zs)]
+    sw = bigint.swap(X, Y)
+    assert _unpack(sw[0]) == ys and _unpack(sw[1]) == xs
+    assert _unpack(bigint.set_(X)) == xs
+
+
+@pytest.mark.parametrize("W", WIDTHS)
 def test_accumulator(W):
     bits = 32 * W
     xs = _rand(W, N, 120 + W)
