@@ -153,17 +153,26 @@ def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
     with limbs.fori_limb_loops():
         y = _mxu.ntt_axis_mxu(x_ref[:], field, inverse=inverse, tws=tws,
                               mats=mats)
-        if t3_ref is not None:
-            if rep == 1:
-                y = limbs.mont_mul(y, t3_ref[:], field)
-            else:
-                tb = t3_ref[:]                     # [W, k_cols, m] own rows
-                t = jnp.swapaxes(tb, 1, 2)         # [W, m, k_cols]
-                W_, m_, Bt_ = y.shape
-                rep_in = Bt_ // k_cols
-                yr = y.reshape(W_, m_, k_cols, rep_in)
-                yr = limbs.mont_mul(yr, t[:, :, :, None], field)
-                y = yr.reshape(W_, m_, Bt_)
+        if t3_ref is not None and rep == 1:
+            y = limbs.mont_mul(y, t3_ref[:], field)
+        if t3_ref is not None and rep > 1:
+            # Deep level: multiply in TRANSPOSED layout. Expanding the
+            # [W, k_cols, m] twiddle block to batch resolution is then a
+            # sublane-dim broadcast+merge with the LANE dim (m) constant
+            # — the reshape kind Mosaic supports. The lane-splitting
+            # alternative (y.reshape(W, m, k_cols, rep_in)) lowers but
+            # FAILS the Mosaic compile ("unsupported shape cast") — it
+            # shipped at HEAD because only the chip (or an AOT TPU
+            # compile, tools/tpucompile.py) runs that stage.
+            tb = t3_ref[:]                         # [W, k_cols, m]
+            W_, m_, Bt_ = y.shape
+            rep_in = Bt_ // k_cols
+            texp = jnp.broadcast_to(
+                tb[:, :, None, :],
+                (W_, k_cols, rep_in, m_)).reshape(W_, Bt_, m_)
+            yt = limbs.mont_mul(jnp.swapaxes(y, 1, 2), texp, field)
+            o_ref[:] = yt if transpose_out else jnp.swapaxes(yt, 1, 2)
+            return
     o_ref[:] = jnp.swapaxes(y, 1, 2) if transpose_out else y
 
 
