@@ -15,9 +15,12 @@ runner graphs at the driver's own configs with ``NTT_FORCE_MOSAIC=1``
 (kernels/specs.pallas_interpret), so every Mosaic-lowering-visible
 illegality is a CPU test failure.
 
-Not covered (still chip-only): the Mosaic *compile* stage (VMEM
-overflow / compile-helper OOM) and numerical execution — those remain
-tools/healthcheck.py --deep territory.
+Not covered here: the Mosaic *compile* stage (vector-layout inference,
+shape-cast legality, VMEM budgeting) — run ``tools/tpucompile.py``
+(AOT compile against a v5e topology via the local libtpu, also
+chip-free; it caught the round-3 deep-twiddle lane-splitting reshape
+that passed every test in THIS file) — and numerical execution, which
+remains tools/healthcheck.py --deep territory on the real chip.
 """
 
 import pytest

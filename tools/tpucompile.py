@@ -1,0 +1,91 @@
+"""Full AOT TPU compile of any runner config on the CPU host (no chip).
+
+``jax.export`` (tools/lowercheck.py) runs the TPU *lowering* only; the
+Mosaic backend *compile* stage — vector layout inference, shape-cast
+legality, VMEM budgeting — runs at XLA-compile time and needs the TPU
+compiler, not a TPU. The local ``libtpu`` provides exactly that through
+``jax.experimental.topologies``: compiling against a v5e topology
+description runs the ENTIRE XLA+Mosaic pipeline host-side.
+
+This catches the bug class the lowering check cannot: round 3's
+deep-twiddle lane-splitting reshape lowered cleanly and passed every CPU
+test, then failed Mosaic compile ("unsupported shape cast") in the
+driver's exact headline config — found by this tool's first run, fixed
+before any chip time (kernels/mxu_level.py _kernel_sub).
+
+Usage:
+    python tools/tpucompile.py [field] [logn] [algo] [--inverse] [--coset]
+    python tools/tpucompile.py --suite     # the driver/campaign config set
+    NTT_MXU_SUB256_LOG=7 python tools/tpucompile.py bls12-381-fr 18 mxu_sub
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ["NTT_FORCE_MOSAIC"] = "1"
+
+#: the chip-critical configs: everything the driver and the TPU campaign
+#: run, at the smallest sizes that still exercise the deep (rep > 1)
+#: twiddle levels and both field regimes
+SUITE = [
+    ("bls12-381-fr", 18, "auto", False, None),     # bench.py headline
+    ("bls12-381-fr", 13, "auto", False, None),     # deep tier, forward
+    ("bls12-381-fr", 13, "auto", True, None),      # deep tier, inverse
+    ("bls12-381-fr", 13, "auto", False, "gen"),    # fused coset
+    ("small-proth", 22, "mxu_sub", False, None),   # narrow driver config
+    ("small-proth", 19, "mxu_sub", True, None),    # narrow deep inverse
+]
+
+
+def _topology_sharding():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from jax.experimental import topologies
+    from jax.sharding import SingleDeviceSharding
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name="v5e:2x2")
+    return SingleDeviceSharding(topo.devices[0])
+
+
+def aot_compile(sh, field_name, log_n, algo, inverse=False, coset=None):
+    import jax
+    from ntt_tpu.api import get_runner, ramp_mont
+    from ntt_tpu.fields import get_field
+    f = get_field(field_name)
+    n = 1 << log_n
+    shift = f.generator if coset == "gen" else coset
+    t0 = time.time()
+    x = ramp_mont(f, n)
+    run, aux = get_runner(f, n, inverse, algo, True, shift)
+    args = (jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh),
+            jax.tree.map(lambda a: jax.ShapeDtypeStruct(
+                a.shape, a.dtype, sharding=sh), aux))
+    lowered = jax.jit(lambda v, a: run(v, a)).lower(*args)
+    t1 = time.time()
+    lowered.compile()
+    print(f"TPU compile OK: {f.name} 2^{log_n} {algo} inverse={inverse} "
+          f"coset={coset} (setup+lower {t1 - t0:.1f}s, "
+          f"compile {time.time() - t1:.1f}s)", flush=True)
+
+
+def main():
+    sh = _topology_sharding()
+    if "--suite" in sys.argv:
+        for cfg in SUITE:
+            aot_compile(sh, *cfg)
+        print("suite: all configs compile for TPU")
+        return
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    field_name = args[0] if len(args) > 0 else "bls12-381-fr"
+    log_n = int(args[1]) if len(args) > 1 else 13
+    algo = args[2] if len(args) > 2 else "auto"
+    aot_compile(sh, field_name, log_n, algo,
+                inverse="--inverse" in sys.argv,
+                coset="gen" if "--coset" in sys.argv else None)
+
+
+if __name__ == "__main__":
+    main()
