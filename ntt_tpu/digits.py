@@ -147,9 +147,32 @@ def apply_matrix(A: jnp.ndarray, x, field: Field, m: int, zmax_bits: int):
     E = 2 * D - 1
     rest = x.shape[2:]
     d = extract_digits(x, field)              # [D, m, *rest] int8
-    Xf = d.reshape(D * m, -1)                 # [(d2,i), B]
-    Z = jax.lax.dot_general(
-        A, Xf, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)     # [(e,k), B]
-    Z = Z.reshape((E, m) + rest)
+
+    def dot2(Xf):
+        return jax.lax.dot_general(
+            A, Xf, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    if len(rest) <= 1 or rest[-1] % 128 == 0:
+        # Single matmul over the flattened batch. For peeled (>= 4-D)
+        # views this merges trailing dims into the LANE dim — a shape
+        # cast Mosaic supports only when the lane dim is 128-aligned
+        # (AOT-verified: small 2^22 m=512 and BLS Bt=128 compile; BLS
+        # Bt=64 does not) — hence the gate.
+        Z = dot2(d.reshape(D * m, -1))        # [(e,k), B]
+        Z = Z.reshape((E, m) + rest)
+    else:
+        # Sub-128-lane peeled views (multi-level recursion inside a
+        # Pallas kernel at small batch): the lane merge fails Mosaic
+        # layout inference ("unsupported shape cast" — found by the AOT
+        # TPU compile, tools/tpucompile.py), so contract each
+        # second-minor slice separately (static unrolled loop, small at
+        # peel radices) and restack on the sublane side; the lane dim
+        # never changes.
+        B = rest[-1]
+        mid = int(np.prod(rest[:-1]))
+        d4 = d.reshape(D, m, mid, B)          # sublane-side split only
+        Zs = [dot2(d4[:, :, j, :].reshape(D * m, B)).reshape(E, m, B)
+              for j in range(mid)]
+        Z = jnp.stack(Zs, axis=2).reshape((E, m) + rest)
     return recompose_reduce(Z, field, zmax_bits)

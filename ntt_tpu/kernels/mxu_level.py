@@ -249,6 +249,8 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
         out_shape = (W, m, B)
     assert_block_legal(out_spec.block_shape, out_shape, "fused_subntt out")
 
+    from .mxu_ntt import multi_vmem_limit_mb
+
     def call(x3, mats, T3=None):
         args = (x3,) + tuple(mats[sz] for sz in sizes) \
             + tuple(jnp.asarray(t) for t in inner_tw)
@@ -261,7 +263,12 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
             interpret=interpret,
-            compiler_params=compiler_params(),
+            # 256-bit multi-level kernels exceed the 16MB default scoped
+            # VMEM; raise the cap (v5e: 128MB physical) — the tile solver
+            # budgets against the same number (mxu_ntt.vmem_batch_tile)
+            compiler_params=compiler_params(
+                vmem_limit_mb=multi_vmem_limit_mb(field)
+                if m > _mxu.BASE else None),
         )(*args)
 
     return call

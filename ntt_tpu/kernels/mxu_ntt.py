@@ -43,6 +43,14 @@ DEFAULT_BATCH_TILE = int(os.environ.get("NTT_MXU_BT", "256"))
 #: headroom for Mosaic's own temporaries)
 VMEM_BUDGET = 14 << 20
 
+#: 256-bit MULTI-level kernels exceed the 16MB default scoped limit (the
+#: AOT compile measured m=128 BLS at 18.19MB for Bt=64); v5e has 128MB
+#: physical VMEM, so those kernels raise the Mosaic cap (harmless for
+#: kernels under it) and budget against this instead. Env-tunable for
+#: the chip A/B (a higher cap can trade against pipelining headroom).
+VMEM_LIMIT_MULTI_MB = int(os.environ.get("NTT_VMEM_LIMIT_MB", "64"))
+VMEM_BUDGET_MULTI_WIDE = (VMEM_LIMIT_MULTI_MB - 8) << 20
+
 #: NTT_DIMSEM=parallel marks the (batch-tile) grid dimension parallel for
 #: Mosaic — every kernel here writes disjoint output blocks per grid step,
 #: so the semantics are valid; whether it changes the pipeline schedule on
@@ -50,13 +58,16 @@ VMEM_BUDGET = 14 << 20
 DIMSEM = os.environ.get("NTT_DIMSEM", "")
 
 
-def compiler_params(n_grid: int = 1):
-    """pltpu.CompilerParams for the disjoint-output batch grids, or None
-    (Mosaic defaults) unless the NTT_DIMSEM experiment knob is set."""
-    if DIMSEM != "parallel":
-        return None
-    return pltpu.CompilerParams(
-        dimension_semantics=("parallel",) * n_grid)
+def compiler_params(n_grid: int = 1, vmem_limit_mb: int | None = None):
+    """pltpu.CompilerParams for the disjoint-output batch grids;
+    ``vmem_limit_mb`` raises the Mosaic scoped-VMEM cap (256-bit
+    multi-level kernels). None -> Mosaic defaults."""
+    kw = {}
+    if DIMSEM == "parallel":
+        kw["dimension_semantics"] = ("parallel",) * n_grid
+    if vmem_limit_mb:
+        kw["vmem_limit_bytes"] = vmem_limit_mb << 20
+    return pltpu.CompilerParams(**kw) if kw else None
 
 
 def vmem_batch_tile(field: Field, m: int, B: int, has_tw: bool = False,
@@ -68,6 +79,7 @@ def vmem_batch_tile(field: Field, m: int, B: int, has_tw: bool = False,
     D = digits.n_digits(field)
     E = 2 * D - 1
     W = field.n_words
+    budget = VMEM_BUDGET
     if multi:
         # matrices are the small per-level bases (<= BASE); the Z plane
         # at any inner level is E*BASE*(m/BASE)*Bt*4 = E*m*Bt*4
@@ -77,10 +89,24 @@ def vmem_batch_tile(field: Field, m: int, B: int, has_tw: bool = False,
         mat = E * m * D * m
     streams = 2 + (1 if has_tw else 0)  # in + out (+ twiddle), x2 buffered
     per_bt = E * m * 4 + D * m + streams * 2 * W * m * 4
+    if multi and field.n_halves > 8:
+        # 256-bit multi-level: the plain model under-counts the live
+        # halves-plane temporaries (recompose + CIOS across two in-kernel
+        # levels). Calibrated against the AOT-compiled footprint:
+        # m=128 BLS Bt=64 -> 18.19MB actual vs 7.1MB modeled (x2.6);
+        # x4 for safety. Budget follows the raised Mosaic cap.
+        per_bt *= 4
+        budget = VMEM_BUDGET_MULTI_WIDE
     bt = min(DEFAULT_BATCH_TILE, B)
-    while bt > 8 and mat + bt * per_bt > VMEM_BUDGET:
+    while bt > 8 and mat + bt * per_bt > budget:
         bt //= 2
     return max(1, bt)
+
+
+def multi_vmem_limit_mb(field: Field) -> int | None:
+    """Raised Mosaic VMEM cap for 256-bit multi-level kernels; None keeps
+    the Mosaic default (the chip-proven narrow-field configuration)."""
+    return VMEM_LIMIT_MULTI_MB if field.n_halves > 8 else None
 
 
 def _kernel(x_ref, a_ref, o_ref, *, field: Field, m: int, zmax_bits: int):
