@@ -36,8 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .specs import pallas_interpret
 
 
-def _a2a_kernel(c_ref, o_ref, send_sem, recv_sem, *, axis: str, D: int,
-                n1_loc: int, n2_loc: int):
+def _a2a_kernel(c_ref, o_ref, send_sem, recv_sem, *, axis: str, D: int):
     me = lax.axis_index(axis)
 
     # Barrier: every device signals every peer once (including itself) and
@@ -50,12 +49,20 @@ def _a2a_kernel(c_ref, o_ref, send_sem, recv_sem, *, axis: str, D: int,
             device_id_type=pltpu.DeviceIdType.MESH)
     pltpu.semaphore_wait(barrier, D)
 
+    # Both refs are FLAT [W, n1*n2_loc]: each peer's rows-block is one
+    # contiguous lane range of length ``chunk`` = n1_loc*n2_loc, so every
+    # DMA slice is a lane slice at a 128-aligned offset/extent — Mosaic
+    # rejects any sliced memref whose lane extent is not a multiple of
+    # 128 (the original [:, :, ds(me*n2_loc, n2_loc)] column slice and a
+    # 4-D leading-dim variant both fail compile at small shards; caught
+    # by the AOT TPU compile, tools/tpucompile.py).
+    chunk = c_ref.shape[1] // D
     ops = []
     for o in range(D):
         t = lax.rem(me + o, D)  # target peer at this offset
         copy = pltpu.make_async_remote_copy(
-            src_ref=c_ref.at[:, pl.ds(t * n1_loc, n1_loc), :],
-            dst_ref=o_ref.at[:, :, pl.ds(me * n2_loc, n2_loc)],
+            src_ref=c_ref.at[:, pl.ds(t * chunk, chunk)],
+            dst_ref=o_ref.at[:, pl.ds(me * chunk, chunk)],
             send_sem=send_sem.at[o],
             recv_sem=recv_sem.at[o],
             device_id=(t,),
@@ -69,15 +76,13 @@ def _a2a_kernel(c_ref, o_ref, send_sem, recv_sem, *, axis: str, D: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _build(axis: str, D: int, W: int, n1: int, n2_loc: int, interpret: bool):
-    n1_loc = n1 // D
-    kern = functools.partial(_a2a_kernel, axis=axis, D=D, n1_loc=n1_loc,
-                             n2_loc=n2_loc)
+def _build(axis: str, D: int, W: int, flat: int, interpret: bool):
+    kern = functools.partial(_a2a_kernel, axis=axis, D=D)
     return pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((W, n1_loc, n2_loc * D), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((W, flat), jnp.uint32),
         scratch_shapes=[pltpu.SemaphoreType.DMA((D,)),
                         pltpu.SemaphoreType.DMA((D,))],
         compiler_params=pltpu.CompilerParams(collective_id=7),
@@ -88,7 +93,26 @@ def _build(axis: str, D: int, W: int, n1: int, n2_loc: int, interpret: bool):
 def a2a_transpose(C, axis: str, D: int):
     """Inside shard_map: C uint32[W, n1, n2_loc] per device -> the
     four-step exchange output uint32[W, n1/D, n2_loc*D], bit-identical to
-    the tiled XLA all_to_all (split_axis=1, concat_axis=2)."""
+    the tiled XLA all_to_all (split_axis=1, concat_axis=2).
+
+    The kernel moves contiguous flat peer chunks (lane slices at
+    128-aligned offsets); the reshapes to/from that layout live OUTSIDE
+    the kernel, in XLA, where any relayout is legal. Mosaic's DMA slicer
+    requires chunk = (n1/D)*(n2/D) to be a multiple of 128, i.e.
+    n >= 128*D^2 — every production scale qualifies; tiny test shards
+    run under the interpreter only."""
     W, n1, n2_loc = C.shape
+    n1_loc = n1 // D
+    chunk = n1_loc * n2_loc
     interpret = pallas_interpret()
-    return _build(axis, D, W, n1, n2_loc, interpret)(C)
+    if not interpret and chunk % 128:
+        raise ValueError(
+            f"exchange='pallas' needs per-peer chunks of a multiple of "
+            f"128 lanes (Mosaic DMA slice alignment); got "
+            f"(n1/D)*(n2/D) = {chunk} — use n >= 128*D^2 or the "
+            f"all_to_all/ring exchange")
+    c2 = C.reshape(W, n1 * n2_loc)
+    y2 = _build(axis, D, W, n1 * n2_loc, interpret)(c2)
+    # y2[:, s*chunk + i1l*n2_loc + j] = C_on_device_s[:, me*n1_loc+i1l, j]
+    y4 = y2.reshape(W, D, n1_loc, n2_loc)
+    return jnp.moveaxis(y4, 1, 2).reshape(W, n1_loc, D * n2_loc)

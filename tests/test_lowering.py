@@ -97,10 +97,13 @@ def test_lower_distributed(force_mosaic):
     for field_name, algo, exchange in (
             ("small-proth", None, None),
             ("small-proth", None, "ring"),
+            # pallas exchange needs n >= 128*D^2 (Mosaic DMA slice
+            # alignment; kernels/exchange.a2a_transpose) — 2^14 on the
+            # 8-device mesh
             ("small-proth", None, "pallas"),
             ("bls12-381-fr", "mxu_sub", None)):
         f = get_field(field_name)
-        n = 1 << 12
+        n = 1 << (14 if exchange == "pallas" else 12)
         kw = {}
         if algo:
             kw["algorithm"] = algo

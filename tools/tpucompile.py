@@ -71,7 +71,50 @@ def aot_compile(sh, field_name, log_n, algo, inverse=False, coset=None):
           f"compile {time.time() - t1:.1f}s)", flush=True)
 
 
+def dist_suite():
+    """AOT-compile the distributed shard_map graphs — including the
+    Pallas remote-DMA all-to-all, whose Mosaic compile the CPU-mesh
+    tests and the jax.export lowering never run (its DMA slice
+    alignment failed here first; kernels/exchange.py)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ntt_tpu.fields import get_field
+    from ntt_tpu.parallel import make_dist_ntt
+    from ntt_tpu.parallel.dist_ntt import split_log
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name="v5e:2x2")
+    mesh = Mesh(np.array(topo.devices), ("ntt",))
+    for field_name, algo, exchange in (
+            ("small-proth", None, None),
+            ("small-proth", None, "ring"),
+            ("small-proth", None, "pallas"),
+            ("bls12-381-fr", None, "pallas"),
+            ("bls12-381-fr", "mxu_sub", None)):
+        f = get_field(field_name)
+        n = 1 << 12
+        n1, n2 = split_log(n)
+        kw = {}
+        if algo:
+            kw["algorithm"] = algo
+        if exchange:
+            kw["exchange"] = exchange
+        fwd = make_dist_ntt(f, n, mesh, **kw)
+        shd = NamedSharding(mesh, P(None, None, "ntt"))
+        t0 = time.time()
+        jax.jit(fwd).lower(jax.ShapeDtypeStruct(
+            (f.n_words, n1, n2), np.uint32, sharding=shd)).compile()
+        print(f"TPU compile OK: dist {f.name} 2^12 algo={algo} "
+              f"exchange={exchange} ({time.time() - t0:.1f}s)", flush=True)
+
+
 def main():
+    if "--dist" in sys.argv:
+        dist_suite()
+        print("dist: all configs compile for TPU")
+        return
     sh = _topology_sharding()
     if "--suite" in sys.argv:
         for cfg in SUITE:
