@@ -342,8 +342,10 @@ def _kernel_probe(x_ref, a_ref, t_ref, o_ref, *, field, m, zmax_bits,
     E = 2 * D - 1
     d = digits.extract_digits(x, field)             # [D, m, Bt] int8
     if stage == "digits":
-        acc = d.astype(jnp.uint32).sum(axis=0)      # touch every plane
-        o_ref[:] = jnp.broadcast_to(acc[None], x.shape)
+        # int32 accumulate: Mosaic has no unsigned reductions (sums of
+        # 7-bit digits over D <= 37 planes fit comfortably)
+        acc = d.astype(jnp.int32).sum(axis=0)       # touch every plane
+        o_ref[:] = jnp.broadcast_to(acc[None].astype(jnp.uint32), x.shape)
         return
     Z = jax.lax.dot_general(
         a_ref[:], d.reshape(D * m, Bt),
