@@ -39,6 +39,20 @@ SUITE = [
     ("small-proth", 19, "mxu_sub", True, None),    # narrow deep inverse
 ]
 
+#: knob-gated campaign configs (env read at import time -> each runs as
+#: its own subprocess): the SUB256 peels, the unrolled-CIOS A/B form,
+#: and the dimension-semantics A/B
+KNOB_SUITE = [
+    ({"NTT_MXU_SUB256_LOG": "7"}, ["bls12-381-fr", "13", "mxu_sub"]),
+    ({"NTT_MXU_SUB256_LOG": "7"}, ["bls12-381-fr", "13", "mxu_sub",
+                                   "--inverse"]),
+    ({"NTT_MXU_SUB256_LOG": "7"}, ["bls12-381-fr", "18", "mxu_sub"]),
+    ({"NTT_MXU_SUB256_LOG": "6"}, ["bls12-381-fr", "13", "mxu_sub"]),
+    ({"NTT_LOOP_MIN_HALVES": "99"}, ["bls12-381-fr", "18", "mxu_chunked"]),
+    ({"NTT_DIMSEM": "parallel"}, ["bls12-381-fr", "18", "mxu_sub"]),
+    ({"NTT_DIMSEM": "parallel"}, ["small-proth", "22", "mxu_sub"]),
+]
+
 
 def _topology_sharding():
     import jax
@@ -114,6 +128,19 @@ def main():
     if "--dist" in sys.argv:
         dist_suite()
         print("dist: all configs compile for TPU")
+        return
+    if "--knobs" in sys.argv:
+        import subprocess
+        me = os.path.abspath(__file__)
+        for env, argv in KNOB_SUITE:
+            full = dict(os.environ)
+            full.update(env)
+            rc = subprocess.run([sys.executable, "-u", me] + argv,
+                                env=full).returncode
+            if rc:
+                print(f"FAIL env={env} args={argv}")
+                sys.exit(rc)
+        print("knobs: all configs compile for TPU")
         return
     sh = _topology_sharding()
     if "--suite" in sys.argv:
