@@ -16,7 +16,14 @@ before any chip time (kernels/mxu_level.py _kernel_sub).
 Usage:
     python tools/tpucompile.py [field] [logn] [algo] [--inverse] [--coset]
     python tools/tpucompile.py --suite     # the driver/campaign config set
+    python tools/tpucompile.py --knobs     # knob-gated campaign configs
+    python tools/tpucompile.py --dist      # shard_map graphs (4-dev topo)
     NTT_MXU_SUB256_LOG=7 python tools/tpucompile.py bls12-381-fr 18 mxu_sub
+
+NOTE: libtpu holds /tmp/libtpu_lockfile for the process lifetime —
+concurrent tpucompile (or test_compile.py) processes fail with a
+lockfile error; run them serialized (stale lock after a kill:
+``rm /tmp/libtpu_lockfile``).
 """
 
 import os
@@ -54,9 +61,21 @@ KNOB_SUITE = [
 ]
 
 
+def _cache():
+    """Share the persistent compile cache with the test suite/bench:
+    repeat --suite/--knobs runs skip finished compiles."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def _topology_sharding():
     import jax
     jax.config.update("jax_platforms", "cpu")
+    _cache()
     from jax.experimental import topologies
     from jax.sharding import SingleDeviceSharding
     topo = topologies.get_topology_desc(platform="tpu",
@@ -92,6 +111,7 @@ def dist_suite():
     alignment failed here first; kernels/exchange.py)."""
     import jax
     jax.config.update("jax_platforms", "cpu")
+    _cache()
     import numpy as np
     from jax.experimental import topologies
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
