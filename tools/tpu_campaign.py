@@ -102,11 +102,13 @@ def _stages():
         # 8. fused-level knockout attribution (VERDICT #4)
         ("knockout", [PY, "-u", micro, "knockout", "18", "bls12-381-fr"],
          {}, 3600),
-        # 9. 2^24 then 2^26 BLS bit-exact + timed (VERDICT #5); 2^26
-        #    fallback with the factored top twiddle if the plain run OOMs
+        # 9. 2^24 then 2^26 BLS bit-exact + timed (VERDICT #5). The
+        #    FACTORED-twiddle 2^26 runs first (lower HBM peak: two tiny
+        #    tables instead of the 2GB top table); the plain variant is
+        #    the round-2 worker-crasher (HBM OOM), so it runs LAST in
+        #    the campaign — a crashed worker can drop the tunnel and
+        #    must not take the recorded artifacts with it.
         ("bls24", [PY, "-u", sweep, "bls12-381-fr", "auto", "24"], {}, 7200),
-        ("bls26", [PY, "-u", sweep, "bls12-381-fr", "auto", "26"],
-         {}, 14400),
         ("bls26_factored", [PY, "-u", sweep, "bls12-381-fr", "auto", "26"],
          {"NTT_FACTOR_TW_MIN": str(1 << 22)}, 14400),
         # 10. record artifacts for the round
@@ -116,6 +118,12 @@ def _stages():
                         "12,14,16,18,20,22"], {}, 10800),
         ("sweep_small", [PY, "-u", sweep, "small-proth", "auto",
                          "20,22,24,26"], {}, 10800),
+        # 11. highest-crash-risk stage last: plain-table 2^26 (donated
+        #     input; skipped when the factored run already recorded the
+        #     2^26 bit-exact entry AND this would re-risk the worker —
+        #     kept as a perf bonus try)
+        ("bls26", [PY, "-u", sweep, "bls12-381-fr", "auto", "26"],
+         {}, 14400),
     ]
 
 
@@ -150,16 +158,11 @@ def main():
                   f"{st.get('wall_s', 0):.0f}s env={env} timeout={tmo}")
         return
 
-    # skip bls26_factored when plain bls26 succeeded
     for name, argv, env, tmo in stages:
         if only and name not in only:
             continue
         if name in state and state[name].get("ok") and name not in redo:
             print(f"== {name}: already ok, skip", flush=True)
-            continue
-        if (name == "bls26_factored"
-                and state.get("bls26", {}).get("ok")):
-            print("== bls26_factored: plain 2^26 ok, skip", flush=True)
             continue
         if (name.startswith("sub256_m64")
                 and state.get("sub256_probe", {}).get("ok")):
