@@ -569,17 +569,21 @@ def modular_inverse(x, m):
 # ---------------------------------------------------------------------------
 
 def modular_power(x, e, m):
-    """x^e mod m (m > 1; e a W-word exponent). O(bits) wide mul+rem
-    steps, each a fori_loop — correct and vectorized, not fast."""
+    """x^e mod m (m > 1; e a W-word exponent). Barrett-reduced square
+    and multiply — one restoring division precomputes the approximation
+    (CGBN does the same, impl_cuda.cu:938-970), then every step is a
+    few wide multiplies instead of a bit-serial rem."""
     W = x.shape[0]
     bits = 32 * W
     bshape = jnp.broadcast_shapes(x.shape[1:], e.shape[1:], m.shape[1:])
     zeros = jnp.zeros((W,) + bshape, jnp.uint32)
     mb = jnp.broadcast_to(m, (W,) + bshape)
+    approx, shift = barrett_approximation(mb)
 
     def mulmod(a, b):
         lo, hi = mul_wide(a, b)
-        return rem_wide(lo, hi, mb)   # exact for any hi (see div_rem_wide)
+        # hi < m always (a, b < m), the wide-Barrett precondition
+        return barrett_rem_wide(lo, hi, mb, approx, shift)
 
     _, base0 = div_rem(jnp.broadcast_to(x, (W,) + bshape), m)
     acc0 = zeros.at[0].set(_ONE)
