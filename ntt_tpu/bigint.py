@@ -758,14 +758,8 @@ def negate(x):
     """Two's-complement negate: (2^bits - x) mod 2^bits (cgbn_negate,
     cgbn.h:97)."""
     h = _to_halves(x)
-    comp = (_MASK - h).at[0].add(_ONE)
-    out = []
-    c = None
-    for j in range(h.shape[0]):
-        s = comp[j] if c is None else comp[j] + c
-        out.append(s & _MASK)
-        c = s >> HALF_BITS
-    return _to_words(jnp.stack(out, axis=0))
+    d, _ = _sub_h(jnp.zeros_like(h), h)
+    return _to_words(d)
 
 
 # ---------------------------------------------------------------------------
@@ -900,7 +894,7 @@ def binary_inverse_ui32(u):
     the reference's Newton iteration, arith/math.cu:50-58)."""
     u = jnp.asarray(u, jnp.uint32)
     v = u
-    for _ in range(5):                 # 3 -> 6 -> 12 -> 24 -> 48 bits
+    for _ in range(4):                 # 3 -> 6 -> 12 -> 24 -> 48 bits
         v = v * (np.uint32(2) - u * v)
     return v
 

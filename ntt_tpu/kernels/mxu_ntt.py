@@ -83,18 +83,21 @@ def vmem_batch_tile(field: Field, m: int, B: int, has_tw: bool = False,
     if multi:
         # matrices are the small per-level bases (<= BASE); the Z plane
         # at any inner level is E*BASE*(m/BASE)*Bt*4 = E*m*Bt*4
-        from ..transforms.mxu import base_sizes
+        from ..transforms.mxu import BASE, base_sizes
         mat = sum(E * sz * D * sz for sz in base_sizes(m) if sz > 1)
     else:
         mat = E * m * D * m
     streams = 2 + (1 if has_tw else 0)  # in + out (+ twiddle), x2 buffered
     per_bt = E * m * 4 + D * m + streams * 2 * W * m * 4
-    if multi and field.n_halves > 8:
-        # 256-bit multi-level: the plain model under-counts the live
-        # halves-plane temporaries (recompose + CIOS across two in-kernel
-        # levels). Calibrated against the AOT-compiled footprint:
-        # m=128 BLS Bt=64 -> 18.19MB actual vs 7.1MB modeled (x2.6);
-        # x4 for safety. Budget follows the raised Mosaic cap.
+    if multi and field.n_halves > 8 and m > BASE:
+        # 256-bit MULTI-LEVEL peel (m > BASE; must mirror the
+        # multi_vmem_limit_mb gate at the pallas_call): the plain model
+        # under-counts the live halves-plane temporaries (recompose +
+        # CIOS across two in-kernel levels). Calibrated against the
+        # AOT-compiled footprint: m=128 BLS Bt=64 -> 18.19MB actual vs
+        # 7.1MB modeled (x2.6); x4 for safety. Budget follows the
+        # raised Mosaic cap. m == BASE wide kernels keep the proven
+        # round-2 model + default cap.
         per_bt *= 4
         budget = VMEM_BUDGET_MULTI_WIDE
     bt = min(DEFAULT_BATCH_TILE, B)

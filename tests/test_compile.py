@@ -36,15 +36,15 @@ def force_mosaic(monkeypatch):
 def test_compile_deep_bls(force_mosaic, topo_devices):
     """The deep (rep > 1) twiddle kernel class at the smallest config
     that exercises it — the shape that crashed the 2^18 headline."""
+    import jax.numpy as jnp
     from jax.sharding import SingleDeviceSharding
-    from ntt_tpu.api import get_runner, ramp_mont
+    from ntt_tpu.api import get_runner
     from ntt_tpu.fields import get_field
     sh = SingleDeviceSharding(topo_devices[0])
     f = get_field("bls12-381-fr")
     n = 1 << 13
-    x = ramp_mont(f, n)
     run, aux = get_runner(f, n, False, "auto", True, None)
-    args = (jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh),
+    args = (jax.ShapeDtypeStruct((f.n_words, n), jnp.uint32, sharding=sh),
             jax.tree.map(lambda a: jax.ShapeDtypeStruct(
                 a.shape, a.dtype, sharding=sh), aux))
     jax.jit(lambda v, a: run(v, a)).lower(*args).compile()

@@ -118,10 +118,11 @@ def _stages():
                         "12,14,16,18,20,22"], {}, 10800),
         ("sweep_small", [PY, "-u", sweep, "small-proth", "auto",
                          "20,22,24,26"], {}, 10800),
-        # 11. highest-crash-risk stage last: plain-table 2^26 (donated
-        #     input; skipped when the factored run already recorded the
-        #     2^26 bit-exact entry AND this would re-risk the worker —
-        #     kept as a perf bonus try)
+        # 11. highest-crash-risk stage last: plain-table 2^26 with the
+        #     donated input. Runs unconditionally (it is the
+        #     perf-preferred mode when it fits); the factored stage above
+        #     already secured the 2^26 bit-exact artifact, so a worker
+        #     crash here costs only this stage.
         ("bls26", [PY, "-u", sweep, "bls12-381-fr", "auto", "26"],
          {}, 14400),
     ]

@@ -85,15 +85,17 @@ def _topology_sharding():
 
 def aot_compile(sh, field_name, log_n, algo, inverse=False, coset=None):
     import jax
-    from ntt_tpu.api import get_runner, ramp_mont
+    import jax.numpy as jnp
+    from ntt_tpu.api import get_runner
     from ntt_tpu.fields import get_field
     f = get_field(field_name)
     n = 1 << log_n
     shift = f.generator if coset == "gen" else coset
     t0 = time.time()
-    x = ramp_mont(f, n)
     run, aux = get_runner(f, n, inverse, algo, True, shift)
-    args = (jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh),
+    # shape-only input: materializing the real 2^26 ramp would cost GBs
+    # of host RAM + a full to_mont pass for a compile that never runs it
+    args = (jax.ShapeDtypeStruct((f.n_words, n), jnp.uint32, sharding=sh),
             jax.tree.map(lambda a: jax.ShapeDtypeStruct(
                 a.shape, a.dtype, sharding=sh), aux))
     lowered = jax.jit(lambda v, a: run(v, a)).lower(*args)
