@@ -80,10 +80,13 @@ def _tw_tables(field, n, inverse, requests, allow_factored=False):
 
 
 def _prep_fourstep(base_max):
+    """``base_max``: an int, or a callable(field) -> int (the per-field
+    ladder caps, fourstep.pallas_base_max)."""
     def prep(field, n, inverse):
+        bm = base_max(field) if callable(base_max) else base_max
         return {"tws": _tw_tables(
             field, n, inverse,
-            _fourstep.twiddle_requests(n, base_max, field),
+            _fourstep.twiddle_requests(n, bm, field),
             allow_factored=True)}
     return prep
 
@@ -136,7 +139,7 @@ ALGORITHMS = {
     "pallas": (lambda x, field, inverse, aux: ntt_fourstep_pallas(
         x, field, inverse, iter(aux["tws"]),
         pre_col=aux.get("coset_col")),
-        _prep_fourstep(_fourstep.PALLAS_BASE_MAX)),
+        _prep_fourstep(_fourstep.pallas_base_max)),
     "mxu": (lambda x, field, inverse, aux: ntt_mxu(
         x, field, inverse, iter(aux["tws"]), aux["mats"]), _prep_mxu),
     "mxu_pallas": (lambda x, field, inverse, aux: ntt_mxu_pallas(
@@ -146,7 +149,7 @@ ALGORITHMS = {
     "pallas_fused": (lambda x, field, inverse, aux: ntt_fourstep_pallas_fused(
         x, field, inverse, iter(aux["tws"])),
         lambda field, n, inverse: {"tws": _mxu.expanded_twiddles(
-            field, n, inverse, base=_fourstep.FUSED_M)}),
+            field, n, inverse, base=_fourstep.fused_m(field))}),
     "mxu_chunked": (lambda x, field, inverse, aux: _mxu.ntt_mxu_chunked(
         x, field, inverse, iter(aux["tws"]), aux["mats"],
         pre_col=aux.get("coset_col")),
@@ -188,7 +191,7 @@ def _first_level(algorithm: str, field: Field, n: int):
     drivers, naive/stockham, or n within one base transform)."""
     base_max = {"fourstep": _fourstep.BASE_MAX,
                 "fourstep_st": _fourstep.BASE_MAX,
-                "pallas": _fourstep.PALLAS_BASE_MAX,
+                "pallas": _fourstep.pallas_base_max(field),
                 "mxu_chunked": _mxu.BASE,
                 "mxu_sub": _mxu.effective_subbase(field)}.get(algorithm)
     if base_max is None or n <= base_max:

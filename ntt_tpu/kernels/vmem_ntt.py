@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import limbs
 from ..fields import Field, get_field
 from ..transforms.core import bit_reverse_axis1, twiddle_master
-from .mxu_ntt import compiler_params
+from .mxu_ntt import compiler_params, multi_vmem_limit_mb
 from .specs import assert_block_legal, pallas_interpret
 
 DEFAULT_BATCH_TILE = 128
@@ -134,7 +134,11 @@ def _build(field_name: str, m: int, Bt: int, interpret: bool):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
             interpret=interpret,
-            compiler_params=compiler_params(),
+            # 256-bit ladder stages overflow the default scoped-VMEM cap
+            # in compiler temporaries (AOT-found; tiny data tiles) — same
+            # raised cap as the 256-bit multi-level MXU kernels
+            compiler_params=compiler_params(
+                vmem_limit_mb=multi_vmem_limit_mb(field)),
         )(x, *stage_tws)
 
     return call
@@ -174,7 +178,8 @@ def _build_fused(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
             interpret=interpret,
-            compiler_params=compiler_params(),
+            compiler_params=compiler_params(
+                vmem_limit_mb=multi_vmem_limit_mb(field)),
         )(*args)
 
     return call

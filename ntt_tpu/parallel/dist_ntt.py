@@ -104,13 +104,15 @@ def _axis_fn(algorithm: str):
         return lambda x, field, inverse, mats=None: ntt_axis_fourstep(
             x, field, inverse, _base_jnp, BASE_MAX)
     if algorithm == "pallas":
-        # PALLAS_BASE_MAX, not a literal: the m=512 unrolled VMEM kernel
-        # OOMs the Mosaic compile helper for 16-half (256-bit) fields
-        # (fourstep.py PALLAS_BASE_MAX note)
-        from ..transforms.fourstep import (PALLAS_BASE_MAX, _base_pallas,
-                                           ntt_axis_fourstep)
+        # per-field cap, not a literal: wide (16-half) fields run the
+        # ladder at m<=64 — larger unrolled VMEM stage kernels overflow
+        # the scoped-VMEM budget / compile impractically slowly
+        # (fourstep.pallas_base_max note)
+        from ..transforms.fourstep import (_base_pallas, ntt_axis_fourstep,
+                                           pallas_base_max)
         return lambda x, field, inverse, mats=None: ntt_axis_fourstep(
-            x, field, inverse, _base_pallas, base_max=PALLAS_BASE_MAX)
+            x, field, inverse, _base_pallas,
+            base_max=pallas_base_max(field))
     if algorithm == "mxu":
         from ..transforms.mxu import ntt_axis_mxu
         return lambda x, field, inverse, mats=None: ntt_axis_mxu(

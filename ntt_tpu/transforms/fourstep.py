@@ -301,6 +301,10 @@ def _base_pallas(x, field: Field, inverse: bool):
 
 #: largest sub-NTT the VMEM stage kernel handles: the unrolled kernel for
 #: m=512 x 16-half mont_muls OOMs the Mosaic compile helper; 256 compiles
+#: for narrow fields. 16-half (256-bit) ladders cap at 64: the m=256
+#: stage stack overflows the scoped-VMEM budget and compiles for >10 min
+#: (AOT-measured round 3) — and the ladder is not the 256-bit production
+#: path (auto picks the MXU drivers), so small kernels win there.
 PALLAS_BASE_MAX = 256
 
 #: fused flat-peel level size: the whole [W, m, Bt] tile plus mont_mul
@@ -308,6 +312,16 @@ PALLAS_BASE_MAX = 256
 #: stages+twiddle+transpose kernel must stay within the Mosaic compile
 #: helper's memory (m=256 with 16-half fields OOMs it)
 FUSED_M = 128
+
+
+def pallas_base_max(field: Field) -> int:
+    """Per-field VMEM stage-kernel base size (see PALLAS_BASE_MAX)."""
+    return 64 if field.n_halves > 8 else PALLAS_BASE_MAX
+
+
+def fused_m(field: Field) -> int:
+    """Per-field fused flat-peel level size (see FUSED_M)."""
+    return 64 if field.n_halves > 8 else FUSED_M
 
 
 def ntt_fourstep_pallas(x, field: Field, inverse: bool = False, tws=None,
@@ -318,7 +332,7 @@ def ntt_fourstep_pallas(x, field: Field, inverse: bool = False, tws=None,
     if n <= 2:
         return ntt_along_axis(x, field, inverse=inverse)
     return ntt_axis_fourstep(x, field, inverse, _base_pallas,
-                             base_max=PALLAS_BASE_MAX, tws=tws,
+                             base_max=pallas_base_max(field), tws=tws,
                              pre_col=pre_col)
 
 
@@ -330,28 +344,29 @@ def ntt_fourstep_pallas_fused(x, field: Field, inverse: bool = False,
     must be expanded twiddles built with base=FUSED_M (see
     mxu.expanded_twiddles); flat-peel loop as in mxu.ntt_mxu_fused.
 
-    KNOWN LIMIT: for 16-half (256-bit) fields the unrolled kernel OOMs the
-    Mosaic compile helper even at FUSED_M=128 — use it for narrow fields;
-    256-bit production paths are 'fourstep'/'mxu_chunked' (auto)."""
+    256-bit fields run at fused_m=64 (the m=128 16-half unrolled kernel
+    OOMs the Mosaic compile; the 256-bit production paths are the MXU
+    drivers — this ladder is kept for registry parity)."""
     from ..kernels.vmem_ntt import fused_stage_level
     assert x.ndim == 2, "fused flat-peel drivers take unbatched uint32[W, n]"
     W, n = x.shape
     if n <= 2:
         return ntt_along_axis(x, field, inverse=inverse)
+    mf = fused_m(field)
     remaining = n
-    m0 = min(FUSED_M, n)
+    m0 = min(mf, n)
     cur = x.reshape(W, m0, n // m0)
     levels = 0
-    while remaining > FUSED_M:
-        T3 = next(tws)                               # [W, FUSED_M, n/FUSED_M]
+    while remaining > mf:
+        T3 = next(tws)                               # [W, mf, n/mf]
         cur = fused_stage_level(cur, field, inverse, T3, transpose_out=True)
-        remaining //= FUSED_M
+        remaining //= mf
         levels += 1
-        m_next = min(FUSED_M, remaining)
+        m_next = min(mf, remaining)
         cur = cur.reshape(W, m_next, n // m_next)
     y = fused_stage_level(cur, field, inverse, None, transpose_out=False)
     if levels > 1:
         # suffix digits come out in reverse peel order (see mxu.ntt_mxu_fused)
-        y = y.reshape((W, remaining) + (FUSED_M,) * levels)
+        y = y.reshape((W, remaining) + (mf,) * levels)
         y = y.transpose((0, 1) + tuple(range(levels + 1, 1, -1)))
     return y.reshape(W, n)
