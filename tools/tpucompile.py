@@ -146,10 +146,25 @@ def dist_suite():
               f"exchange={exchange} ({time.time() - t0:.1f}s)", flush=True)
 
 
+def registry_suite():
+    """AOT-compile EVERY algorithm in the registry, both field regimes,
+    at 2^10 — the sweep that first exposed the 256-bit VPU-ladder
+    compile failures (fixed via per-field ladder caps)."""
+    sh = _topology_sharding()
+    from ntt_tpu.api import ALGORITHMS
+    for field_name in ("small-proth", "bls12-381-fr"):
+        for algo in list(ALGORITHMS):
+            aot_compile(sh, field_name, 10, algo)
+
+
 def main():
     if "--dist" in sys.argv:
         dist_suite()
         print("dist: all configs compile for TPU")
+        return
+    if "--registry" in sys.argv:
+        registry_suite()
+        print("registry: all algorithms compile for TPU")
         return
     if "--knobs" in sys.argv:
         import subprocess
