@@ -31,6 +31,10 @@ Knobs (defaults are the measured-fastest production settings):
 - ``NTT_LOOP_MIN_HALVES=12`` narrowest field (in 16-bit halves) whose
                          in-kernel CIOS traces as fori_loop bodies; 99 =
                          unrolled everywhere (limbs.LOOP_MIN_HALVES)
+- ``NTT_LOOP_SINGLE=0``  force the loop-form CIOS in SINGLE-level MXU
+                         kernels too (the slower round-3 default; the
+                         loop form is compile-required only for
+                         multi-level wide kernels — limbs.LOOP_SINGLE)
 - ``NTT_FORCE_MOSAIC=0`` force the real Mosaic lowering path off-TPU
                          (host-side TPU lowering checks,
                          kernels/specs.pallas_interpret; read live)
@@ -58,7 +62,7 @@ def config_key() -> tuple:
     from .transforms import core, mxu
     return (mxu.FUSE_TW, core.RADIX4, api.FACTOR_TW_MIN, mxu.BASE_LOG,
             mxu.SUBBASE_LOG, mxu.SUB256_LOG, mxu_ntt.DEFAULT_BATCH_TILE,
-            mxu_ntt.DIMSEM, limbs.LOOP_MIN_HALVES,
+            mxu_ntt.DIMSEM, limbs.LOOP_MIN_HALVES, limbs.LOOP_SINGLE,
             os.environ.get("NTT_RESIDENT_SPLIT", "0"),
             os.environ.get("NTT_DEBUG", "0"),
             os.environ.get("NTT_FORCE_MOSAIC", "0"))

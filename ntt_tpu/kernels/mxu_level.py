@@ -60,7 +60,9 @@ def _body(x_ref, a_ref, t_ref, o_ref, field, m, zmax_bits, transpose_out):
         a_ref[:], d.reshape(D * m, Bt),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    with limbs.fori_limb_loops():
+    # single-level kernel: unrolled CIOS (faster; loop form only needed
+    # for multi-level wide-field compiles — see limbs.LOOP_SINGLE)
+    with limbs.fori_limb_loops(enabled=False):
         y = digits.recompose_reduce(
             Z.reshape(E, m, Bt), field, zmax_bits)   # [W, m, Bt]
         if t_ref is not None:
@@ -150,7 +152,11 @@ def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
     o_ref = refs[-1]
     mats = {sz: r[:] for sz, r in zip(sizes, mat_refs)}
     tws = iter([r[:] for r in tw_refs])
-    with limbs.fori_limb_loops():
+    # the loop-form CIOS is compile-REQUIRED only for MULTI-level wide
+    # kernels (m > BASE: the unrolled 16-half multi-level IR OOMs the
+    # Mosaic compile helper, round 2); single-level tiles take the
+    # unrolled form — 2.45x faster on chip (cios_unrolled.log)
+    with limbs.fori_limb_loops(enabled=m > _mxu.BASE):
         y = _mxu.ntt_axis_mxu(x_ref[:], field, inverse=inverse, tws=tws,
                               mats=mats)
         if t3_ref is not None and rep == 1:
@@ -299,6 +305,14 @@ def fused_subntt(x3, field: Field, inverse: bool, mats, T3=None,
     Bt = batch_tile or vmem_batch_tile(field, m, B, has_tw=T3 is not None,
                                        multi=True)
     assert B % Bt == 0 and (rep == 1 or B % rep == 0)
+    if T3 is not None and rep == 1:
+        # batch-resolution layout contract — a transposed (sublane-
+        # layout) table here silently builds an out-of-bounds T3
+        # BlockSpec and faults the TPU kernel (the round-3 BLS >= 2^22
+        # crash, caught by no chip-free layer: block legality was
+        # asserted against the EXPECTED shape, not T3's actual shape)
+        assert T3.shape == (W, m, B), \
+            f"rep==1 twiddle must be [W, m, B]={W, m, B}, got {T3.shape}"
     if T3 is not None and rep > 1:
         assert T3.shape == (W, B // rep, m), (T3.shape, (W, B // rep, m))
         if rep > Bt // 8:
@@ -354,7 +368,8 @@ def _kernel_probe(x_ref, a_ref, t_ref, o_ref, *, field, m, zmax_bits,
     if stage == "matmul":
         o_ref[:] = Z.reshape(E, m, Bt)[:W].astype(jnp.uint32)
         return
-    with limbs.fori_limb_loops():
+    # mirror the production single-level kernel (unrolled CIOS)
+    with limbs.fori_limb_loops(enabled=False):
         y = digits.recompose_reduce(Z.reshape(E, m, Bt), field, zmax_bits)
         if stage == "tw":
             y = limbs.mont_mul(y, t_ref[:], field)

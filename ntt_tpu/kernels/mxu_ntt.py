@@ -123,7 +123,9 @@ def _kernel(x_ref, a_ref, o_ref, *, field: Field, m: int, zmax_bits: int):
         a_ref[:], d.reshape(D * m, Bt),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)          # [E*m, Bt]
-    with limbs.fori_limb_loops():
+    # single-level kernel: the unrolled CIOS compiles fine and runs 2.45x
+    # faster on chip (TPU_CAMPAIGN_r3/cios_unrolled.log)
+    with limbs.fori_limb_loops(enabled=False):
         o_ref[:] = digits.recompose_reduce(
             Z.reshape(E, m, Bt), field, zmax_bits)
 

@@ -231,15 +231,32 @@ _LOOP_SCOPE = False
 LOOP_MIN_HALVES = int(
     __import__("os").environ.get("NTT_LOOP_MIN_HALVES", "12"))
 
+#: force the loop form in SINGLE-level MXU kernels too (the round-3
+#: default). The round-3 chip A/B (TPU_CAMPAIGN_r3/cios_unrolled.log)
+#: measured the unrolled form 2.45x faster at 2^18 BLS mxu_chunked
+#: (1.787ms vs 4.37ms sustained), and the loop form is compile-REQUIRED
+#: only for the multi-level wide-field kernels — so single-level kernels
+#: default to the unrolled round-2 form and only kernels that need the
+#: smaller IR opt in (via fori_limb_loops(enabled=...)).
+LOOP_SINGLE = __import__("os").environ.get("NTT_LOOP_SINGLE", "0") == "1"
+
 
 class fori_limb_loops:
     """Context manager: within, mont_mul/mont_reduce_wide on wide fields
-    (n_halves >= LOOP_MIN_HALVES) trace as fori_loop bodies."""
+    (n_halves >= LOOP_MIN_HALVES) trace as fori_loop bodies.
+
+    ``enabled=False`` makes the scope a no-op (single-level kernels whose
+    unrolled form both compiles and runs 2.45x faster on chip);
+    NTT_LOOP_SINGLE=1 re-enables it everywhere for the chip A/B."""
+
+    def __init__(self, enabled: bool = True):
+        self._enabled = enabled or LOOP_SINGLE
 
     def __enter__(self):
         global _LOOP_SCOPE
         self._prev = _LOOP_SCOPE
-        _LOOP_SCOPE = True
+        _LOOP_SCOPE = self._enabled
+        return self
 
     def __exit__(self, *exc):
         global _LOOP_SCOPE

@@ -212,10 +212,28 @@ def _fused_level(x4, T, field: Field, inverse: bool, base_fn, pre_col=None,
     t_full = TJ if factored else T[:, :, :, None]
     if R > 1:
         bc = R // n_chunks
+        if use_ktw_deep and 1 < bc < 8:
+            # rep=2/4 deep-twiddle kernels blow Mosaic's scoped VMEM
+            # (AOT-measured 36MB vs the 16MB cap at 2^26 L3, rep=2 —
+            # TPU_CAMPAIGN_r4/bls26_factored.log) while rep=1 and
+            # rep>=8 are chip-proven. Widen chunks to rep=8 when R
+            # allows, else drop to the batch-resolution rep==1 path.
+            n_chunks = R // 8 if R >= 8 else R
+            bc = R // n_chunks
         Ts = jnp.swapaxes(T, 1, 2) if use_ktw_deep else None  # [W, n2, n1]
 
         def deep_chunk(c, bcl):
             # c: [W, n1, n2, bcl] -> flattened batch (i2 major, r minor)
+            if bcl == 1:
+                # rep would be 1: the twiddle IS batch-resolution here
+                # (one i2 per batch column), and the kernel's rep==1
+                # branch expects [W, n1, B] layout — shipping the
+                # sublane-layout Ts with rep=1 made the T3 BlockSpec
+                # read out-of-bounds blocks: the round-3 BLS >= 2^22
+                # TPU kernel fault (bc = R//n_chunks hits 1 once R <<
+                # n_chunks_for's cap at 2^22+ data sizes)
+                y3 = tw_base_fn(c[:, :, :, 0], T, rep=1)
+                return jnp.swapaxes(y3, 1, 2)[:, :, :, None]
             y3 = tw_base_fn(c.reshape(W, n1, n2 * bcl), Ts, rep=bcl)
             y = y3.reshape(W, n1, n2, bcl)
             return jnp.swapaxes(y, 1, 2)

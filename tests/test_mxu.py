@@ -295,6 +295,44 @@ def test_fused_level_probe_stages():
     assert nt.to_ints(got, f) == nt.to_ints(want, f)
 
 
+def test_fused_level_deep_bc1(monkeypatch):
+    """Deep four-step level where chunking hits bc == R//n_chunks == 1 —
+    the round-3 BLS >= 2^22 TPU kernel fault: deep_chunk passed rep=1
+    with the SUBLANE-layout table Ts, whose [W, m, Bt] T3 BlockSpec then
+    read out-of-bounds blocks (block extent Bt over an array whose dim-2
+    extent is only n1). Reproduced at tiny size by shrinking the chunk
+    constants so n_chunks reaches the R cap — the production constants
+    only hit bc=1 at data >= 2^22 x 256-bit, beyond CPU-test sizes."""
+    import jax.numpy as jnp
+    from ntt_tpu.kernels.mxu_level import fused_subntt
+    from ntt_tpu.transforms import core as _core
+    from ntt_tpu.transforms.fourstep import _fused_level
+    from ntt_tpu.transforms.mxu import _base_matrix, _base_ntt
+    monkeypatch.setattr(_core, "CHUNK_SINGLE", 4096)
+    monkeypatch.setattr(_core, "CHUNK_BYTES", 512)
+    f = nt.SMALL
+    n1, n2, R = 32, 8, 32  # 32KB data -> n_chunks caps at R -> bc=1
+    rng = random.Random(7)
+    xv = [rng.randrange(f.p) for _ in range(n1 * n2 * R)]
+    tv = [rng.randrange(1, f.p) for _ in range(n1 * n2)]
+    X = limbs.to_mont(
+        nt.from_ints(xv, f).reshape(f.n_words, n1, n2, R), f)
+    T = limbs.to_mont(nt.from_ints(tv, f).reshape(f.n_words, n1, n2), f)
+    mats = {n1: _base_matrix(f, n1, False)}
+
+    def base(c, ff, inv):
+        return _base_ntt(c, ff, inv, mats)
+
+    def tw_base(c3, t3, rep=1):
+        return fused_subntt(c3, f, False, {c3.shape[1]: mats[n1]}, t3,
+                            transpose_out=False, rep=rep)
+
+    got = _fused_level(X, T, f, False, base, tw_base_fn=tw_base)
+    want = limbs.mont_mul(base(X, f, False), T[:, :, :, None], f)
+    want = jnp.swapaxes(want, 1, 2)
+    assert nt.to_ints(got, f) == nt.to_ints(want, f)
+
+
 def test_mxu_coset_lde():
     f, n = nt.SMALL, 64
     x = oracle.ramp(n, f)

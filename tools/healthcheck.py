@@ -60,6 +60,52 @@ def _check(f, log_n, algos):
     return failures
 
 
+def _check_big(f, log_n, algos, k=256):
+    """Crash-regime tier: production sizes too big for a full host
+    compare in a gate — run the forward transform ON DEVICE and verify
+    k subsampled output positions against the native hostlib NTT of the
+    ramp (two independent index draws). This regime exists because the
+    round-3 gate capped at 2^13 BLS and passed while every BLS >= 2^22
+    run killed the TPU worker (VERDICT round 3, weak #4): the failing
+    bc==1 deep-chunk path only appears once n_chunks saturates at
+    production data sizes."""
+    import numpy as np
+
+    import jax
+
+    import ntt_tpu as nt
+    from ntt_tpu import hostlib, limbs
+    from ntt_tpu.api import get_runner, ramp_mont
+    n = 1 << log_n
+    want_all = hostlib.ntt_np(hostlib.ramp_np(n), f)
+    rng = np.random.default_rng(log_n)
+    draws = [np.linspace(0, n - 1, k, dtype=np.int64),
+             np.sort(rng.choice(n, size=k, replace=False))]
+    failures = 0
+    for algo in algos:
+        try:
+            x = ramp_mont(f, n)
+            run, aux = get_runner(f, n, False, algo, True, None)
+            y = jax.jit(lambda v, a: run(v, a), donate_argnums=0)(x, aux)
+            ok = True
+            for idx in draws:
+                sel = jax.jit(
+                    lambda v, i: limbs.from_mont(v[:, i], f))(y, idx)
+                got = nt.to_ints(sel, f)
+                want = hostlib._arr_to_ints(want_all[idx])
+                ok = ok and got == want
+            del y
+            print(f"{f.name:14s} 2^{log_n:<3d} {algo:14s} "
+                  f"{'OK' if ok else 'MISMATCH'} (subsampled 2x{k})",
+                  flush=True)
+            failures += 0 if ok else 1
+        except Exception as e:  # noqa: BLE001
+            print(f"{f.name:14s} 2^{log_n:<3d} {algo:14s} "
+                  f"FAIL: {str(e)[:140]}", flush=True)
+            failures += 1
+    return failures
+
+
 def main():
     import jax
 
@@ -78,6 +124,12 @@ def main():
         failures = 0
         failures += _check(nt.get_field("bls12-381-fr"), 13, prod)
         failures += _check(nt.get_field("small-proth"), 19, prod)
+        # crash-regime sizes (round-3 lesson: 2^22 BLS is where the
+        # chunk cap bites; subsampled vs hostlib keeps the gate fast)
+        failures += _check_big(
+            nt.get_field("bls12-381-fr"), 20, ["mxu_chunked"])
+        failures += _check_big(
+            nt.get_field("bls12-381-fr"), 22, ["mxu_chunked"])
         sys.exit(1 if failures else 0)
 
     field_name = args[0] if len(args) > 0 else "small-proth"
