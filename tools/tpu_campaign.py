@@ -1,4 +1,4 @@
-"""One-shot round-3 TPU campaign: every chip-gated validation and
+"""One-shot round-4 TPU campaign: every chip-gated validation and
 measurement, in priority order, unattended and resumable.
 
 The round-2 lesson (VERDICT weak #1/#2) is that TPU-side proof must not
@@ -11,10 +11,10 @@ Usage:
     python -u tools/tpu_campaign.py            # run / resume
     python -u tools/tpu_campaign.py --list     # show stages + status
     python -u tools/tpu_campaign.py --only bench,hc_deep
-    python -u tools/tpu_campaign.py --redo sub256_ab
+    python -u tools/tpu_campaign.py --redo shootout_2e18
 
 Each stage is a subprocess (fresh import-time env knobs; a crash cannot
-take down the campaign). Results land in TPU_CAMPAIGN_r3/: state.json
+take down the campaign). Results land in TPU_CAMPAIGN_r4/: state.json
 plus one .log per stage. A stage that already recorded ok=True is
 skipped on resume unless --redo names it.
 """
@@ -28,7 +28,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "TPU_CAMPAIGN_r3")
+OUT = os.path.join(REPO, "TPU_CAMPAIGN_r4")
 STATE = os.path.join(OUT, "state.json")
 
 PY = sys.executable or "python3"
@@ -57,72 +57,48 @@ def _stages():
          {}, 300),
         # 1. the /verify drive leg on the real chip
         ("verify_small", [PY, "-u", "-c", drive], {}, 1200),
-        # 2. THE headline: driver-protocol bench must exit 0 (VERDICT #1)
+        # 2. THE headline: driver-protocol bench must exit 0
         ("bench", [PY, "-u", "bench.py"], {}, 3600),
-        # 3. small-proth 2^22 mxu_sub bit-exact on TPU (VERDICT #1 done-bar)
-        ("hc_2e22_small", [PY, "-u", hc, "small-proth", "22",
-                           "mxu_sub,auto"], {}, 3600),
-        # 4. deep tier: every production algo at depth-exercising sizes
-        #    (VERDICT #2) — BLS 2^13 then narrow 2^19
+        # 3. the raised gate: production algos at depth sizes PLUS the
+        #    round-3 crash regime (BLS 2^20 + 2^22 subsampled) —
+        #    VERDICT r3 item 6
         ("hc_deep", [PY, "-u", hc, "--deep"], {}, 10800),
-        # 5. SUB256 compile probe: does the fori-loop CIOS kernel lift the
-        #    Mosaic helper limit? (VERDICT #3)
-        ("sub256_probe", [PY, "-u", hc, "bls12-381-fr", "13", "mxu_sub"],
-         {"NTT_MXU_SUB256_LOG": "7"}, 7200),
-        # 6. SUB256 A/B at 2^18 BLS (ABA: base, knob, base re-run)
-        ("sub256_a", [PY, "-u", shoot, "18", "bls12-381-fr",
-                      "mxu_chunked,mxu_sub"], {}, 3600),
-        ("sub256_b", [PY, "-u", shoot, "18", "bls12-381-fr", "mxu_sub"],
-         {"NTT_MXU_SUB256_LOG": "7"}, 3600),
-        ("sub256_a2", [PY, "-u", shoot, "18", "bls12-381-fr", "mxu_sub"],
-         {}, 3600),
-        # (SUB256_LOG=8 / m=256 not probed: the VMEM tile check caps the
-        # 16-half peel at m=128 — verified on CPU, effective_subbase=128)
-        # 6d. fallback peel if m=128 still overflows the Mosaic compile
-        #     helper: m=64 (lowering + CPU bit-exactness pre-flighted)
-        ("sub256_m64_probe", [PY, "-u", hc, "bls12-381-fr", "13",
-                              "mxu_sub"],
-         {"NTT_MXU_SUB256_LOG": "6"}, 7200),
-        ("sub256_m64_b", [PY, "-u", shoot, "18", "bls12-381-fr",
-                          "mxu_sub"],
-         {"NTT_MXU_SUB256_LOG": "6"}, 3600),
-        # 6c. production-kernel CIOS form A/B: fori-loop (new default)
-        #     vs round-2 unrolled (NTT_LOOP_MIN_HALVES=99) — the loop
-        #     form shrank kernel IR ~16x but was never timed on TPU
-        ("cios_unrolled", [PY, "-u", shoot, "18", "bls12-381-fr",
-                           "mxu_chunked"],
-         {"NTT_LOOP_MIN_HALVES": "99"}, 3600),
-        # 7. dimension_semantics A/B (VERDICT #4 stall isolation)
-        ("dimsem_bls", [PY, "-u", shoot, "18", "bls12-381-fr", "mxu_sub"],
-         {"NTT_DIMSEM": "parallel"}, 3600),
-        ("dimsem_small", [PY, "-u", shoot, "22", "small-proth", "mxu_sub"],
-         {"NTT_DIMSEM": "parallel"}, 3600),
-        ("dimsem_small_base", [PY, "-u", shoot, "22", "small-proth",
-                               "mxu_sub"], {}, 3600),
-        # 8. fused-level knockout attribution (VERDICT #4)
+        # 4. auto-dispatch shootout under the restored unrolled-CIOS
+        #    default, INCLUDING fourstep (VERDICT r3 item 4):
+        #    2^14 / 2^18 / 2^22 BLS
+        ("shootout_2e14", [PY, "-u", shoot, "14", "bls12-381-fr",
+                           "fourstep,mxu_chunked,mxu_sub"], {}, 3600),
+        ("shootout_2e18", [PY, "-u", shoot, "18", "bls12-381-fr",
+                           "fourstep,mxu_chunked,mxu_sub"], {}, 3600),
+        ("shootout_2e22", [PY, "-u", shoot, "22", "bls12-381-fr",
+                           "fourstep,mxu_chunked"], {}, 7200),
+        # 5. knockout attribution re-run with the unrolled default
+        #    (VERDICT r3 item 3 done-bar: fresh stage attribution)
         ("knockout", [PY, "-u", micro, "knockout", "18", "bls12-381-fr"],
          {}, 3600),
-        # 9. 2^24 then 2^26 BLS bit-exact + timed (VERDICT #5). The
-        #    FACTORED-twiddle 2^26 runs first (lower HBM peak: two tiny
-        #    tables instead of the 2GB top table); the plain variant is
-        #    the round-2 worker-crasher (HBM OOM), so it runs LAST in
-        #    the campaign — a crashed worker can drop the tunnel and
-        #    must not take the recorded artifacts with it.
-        ("bls24", [PY, "-u", sweep, "bls12-381-fr", "auto", "24"], {}, 7200),
-        ("bls26_factored", [PY, "-u", sweep, "bls12-381-fr", "auto", "26"],
-         {"NTT_FACTOR_TW_MIN": str(1 << 22)}, 14400),
-        # 10. record artifacts for the round
+        # 6. the recorded all-configs artifact (VERDICT r3 item 7):
+        #    BENCH_SUITE_r4 comes from this log
         ("suite", [PY, "-u", os.path.join("tools", "bench_suite.py")],
          {}, 14400),
+        # 7. the reference-shaped sweep through 2^24 (VERDICT r3 item 1
+        #    done-bar; big-num.cu:370-378 sweeps 256-bit to 2^24)
         ("sweep_full", [PY, "-u", sweep, "bls12-381-fr", "auto",
-                        "12,14,16,18,20,22"], {}, 10800),
+                        "12,14,16,18,20,22,24"], {}, 14400),
+        # 8. 2^26 BLS single chip, factored top table (VERDICT r3 item 5;
+        #    the 2GB plain table is the HBM-budget breaker)
+        ("bls26_factored", [PY, "-u", sweep, "bls12-381-fr", "auto", "26"],
+         {"NTT_FACTOR_TW_MIN": str(1 << 25)}, 14400),
+        # 9. narrow-field regression sweep (the kernel-default changes
+        #    must not move small-proth)
         ("sweep_small", [PY, "-u", sweep, "small-proth", "auto",
                          "20,22,24,26"], {}, 10800),
-        # 11. highest-crash-risk stage last: plain-table 2^26 with the
-        #     donated input. Runs unconditionally (it is the
-        #     perf-preferred mode when it fits); the factored stage above
-        #     already secured the 2^26 bit-exact artifact, so a worker
-        #     crash here costs only this stage.
+        # 10. SUB256 multi-level peel A/B at the new default (fewer
+        #     levels = fewer reduce+twiddle passes; VERDICT r3 item 3a)
+        ("sub256_b", [PY, "-u", shoot, "18", "bls12-381-fr", "mxu_sub"],
+         {"NTT_MXU_SUB256_LOG": "7"}, 3600),
+        # 11. highest-crash-risk stage last: plain-table 2^26 (donated
+        #     input). The factored stage already secured the 2^26
+        #     artifact; a worker crash here costs only this stage.
         ("bls26", [PY, "-u", sweep, "bls12-381-fr", "auto", "26"],
          {}, 14400),
     ]
@@ -164,11 +140,6 @@ def main():
             continue
         if name in state and state[name].get("ok") and name not in redo:
             print(f"== {name}: already ok, skip", flush=True)
-            continue
-        if (name.startswith("sub256_m64")
-                and state.get("sub256_probe", {}).get("ok")):
-            print(f"== {name}: m=128 peel compiled, skip fallback",
-                  flush=True)
             continue
         log = os.path.join(OUT, f"{name}.log")
         print(f"== {name}: start ({' '.join(argv[2:])}) env={env}",
