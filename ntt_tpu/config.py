@@ -35,6 +35,11 @@ Knobs (defaults are the measured-fastest production settings):
                          kernels too (the slower round-3 default; the
                          loop form is compile-required only for
                          multi-level wide kernels — limbs.LOOP_SINGLE)
+- ``NTT_MXU_FOLD=0``     MXU Montgomery fold: pre-folded conv-matrix
+                         rows (D output planes, half the MACs) + the
+                         CIOS elimination loop replaced by one small
+                         fold matmul and a 2-step tail (digits.FOLD;
+                         chip A/B pending)
 - ``NTT_FORCE_MOSAIC=0`` force the real Mosaic lowering path off-TPU
                          (host-side TPU lowering checks,
                          kernels/specs.pallas_interpret; read live)
@@ -57,10 +62,11 @@ def config_key() -> tuple:
     from the environment at trace time by their consumers, so the key
     reads them live too.
     """
-    from . import api, limbs
+    from . import api, digits, limbs
     from .kernels import mxu_ntt
     from .transforms import core, mxu
-    return (mxu.FUSE_TW, core.RADIX4, api.FACTOR_TW_MIN, mxu.BASE_LOG,
+    return (digits.FOLD, mxu.FUSE_TW, core.RADIX4, api.FACTOR_TW_MIN,
+            mxu.BASE_LOG,
             mxu.SUBBASE_LOG, mxu.SUB256_LOG, mxu_ntt.DEFAULT_BATCH_TILE,
             mxu_ntt.DIMSEM, limbs.LOOP_MIN_HALVES, limbs.LOOP_SINGLE,
             os.environ.get("NTT_RESIDENT_SPLIT", "0"),

@@ -32,6 +32,8 @@ Only carry propagation and the final reduction remain on the VPU.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -43,10 +45,47 @@ from .fields import HALF_BITS, Field
 DIGIT_BITS = 7
 DIGIT_MASK = (1 << DIGIT_BITS) - 1
 
+#: MXU Montgomery fold (round 4): route the mod-p reduction work through
+#: the MXU instead of the VPU CIOS elimination loop. Two composable
+#: pieces, one knob:
+#: (a) the conv matrix's digit rows are pre-folded mod p
+#:     (``conv_matrix_folded``): row (d2, i) holds the digits of
+#:     M̃[k,i]·2^(7·d2) mod p, so the matmul emits D output planes
+#:     instead of E = 2D-1 — half the MACs, half the recompose;
+#: (b) the 16-bit-half elimination loop (iters = n_halves+1 VPU passes)
+#:     is replaced by ONE small int8 matmul against a per-(field, J)
+#:     fold matrix (reduction mod p is linear over digit planes) plus a
+#:     2-iteration CIOS tail (``recompose_reduce`` fold path).
+#: Bit-exact vs the CIOS path by construction (residues are preserved
+#: plane-by-plane); property-tested. Default OFF until the chip A/B.
+FOLD = os.environ.get("NTT_MXU_FOLD", "0") == "1"
+
+#: CIOS elimination steps remaining after the fold matmul: the folded
+#: value V2 < 2^(7·(D-1) + 21) must satisfy V2 < 2^(16·tail)·p
+#: (mont_reduce_wide precondition) — tail = 2 covers every field here
+#: (BLS: 2^273 < 2^32·p ≈ 2^287).
+FOLD_TAIL_ITERS = 2
+
 
 def n_digits(field: Field) -> int:
     """Digits per element (covers the full Montgomery width)."""
     return -(-field.mont_bits // DIGIT_BITS)
+
+
+def fold_active(field: Field) -> bool:
+    """The fold applies to WIDE fields only: narrow fields run a 3-5
+    iteration CIOS already (nothing to win), and the fold's in-kernel
+    digit-split planes blow the multi-level narrow kernels' scoped VMEM
+    (AOT-measured: SMALL m=512 18.87M vs the 16M cap)."""
+    return FOLD and field.n_halves >= 12
+
+
+def out_planes(field: Field) -> int:
+    """Digit planes the base conv matmul emits: the full convolution
+    profile E = 2D-1, or D when the matrix rows are pre-folded mod p
+    (fold_active)."""
+    D = n_digits(field)
+    return D if fold_active(field) else 2 * D - 1
 
 
 def extract_digits(x, field: Field) -> jnp.ndarray:
@@ -76,6 +115,8 @@ def conv_matrix(entries, field: Field) -> np.ndarray:
     A[(e*m + k), (d2*m + i)] = digit_{e-d2}(M̃[k][i]), shape [E*m, D*m] with
     E = 2D-1.
     """
+    if fold_active(field):
+        return conv_matrix_folded(entries, field)
     m = len(entries)
     D = n_digits(field)
     E = 2 * D - 1
@@ -93,6 +134,30 @@ def conv_matrix(entries, field: Field) -> np.ndarray:
     return A.reshape(E * m, D * m)
 
 
+def conv_matrix_folded(entries, field: Field) -> np.ndarray:
+    """Pre-folded conv matrix: row (d2, i) holds the digits of
+    M̃[k][i]·2^(7·d2) mod p — each shifted row REDUCED mod p at build
+    time, so the matmul emits D output planes instead of E = 2D-1
+    (half the MACs and half the downstream recompose work). Exact:
+    residues are preserved term-by-term, so
+    Σ_e 2^(7e)·Z'[e] ≡ Σ_i M̃[k][i]·x[i] (mod p) still holds — only the
+    integer REPRESENTATIVE changes, and the Montgomery wide-reduction
+    window only needs the representative bounded (see zmax asserts)."""
+    m = len(entries)
+    D = n_digits(field)
+    p = field.p
+    A = np.zeros((D, m, D, m), dtype=np.int8)
+    for d2 in range(D):
+        sh = 1 << (DIGIT_BITS * d2)
+        for k in range(m):
+            row = entries[k]
+            for i in range(m):
+                v = (row[i] * sh) % p
+                for t in range(D):
+                    A[t, k, d2, i] = (v >> (DIGIT_BITS * t)) & DIGIT_MASK
+    return A.reshape(D * m, D * m)
+
+
 def matrix_prescale(field: Field) -> int:
     """The factor baked into matrix entries: R * 2^16 mod p."""
     return (field.R << HALF_BITS) % field.p
@@ -102,22 +167,42 @@ def reduce_iters(field: Field) -> int:
     return field.n_halves + 1
 
 
-def recompose_reduce(Z, field: Field, zmax_bits: int):
-    """int32[E, m, *b] digit-plane accumulators (non-negative, < 2^zmax_bits)
-    -> canonical Montgomery word planes uint32[W, m, *b]: re-base the digit
-    sums to 16-bit half planes (lazy), then Montgomery wide-reduce by
-    2^(16*(L+1))."""
-    E = Z.shape[0]
+def halves_info(P: int, zmax_bits: int) -> tuple:
+    """Static shape/bound metadata of :func:`_planes_to_halves` for P
+    digit planes < 2^zmax_bits: (J half planes, max bits per half).
+    Used to pre-build fold matrices host-side (they enter Pallas kernels
+    as operands, so their shape must be known before tracing)."""
+    total_bits = DIGIT_BITS * (P - 1) + zmax_bits
+    J = -(-total_bits // HALF_BITS) + 1
+    cnt = [0] * J
+    for e in range(P):
+        bitpos = DIGIT_BITS * e
+        q, r = bitpos >> 4, bitpos & 15
+        cnt[q] += 1
+        cnt[q + 1] += 1
+        if zmax_bits + r > 32:
+            cnt[q + 2] += 1
+    # exact bound: each contribution < 2^16, so a half with c of them
+    # is <= c*(2^16-1) — tighter than 2^(16+ceil(log2 c)) at powers of 2
+    return J, (max(1, max(cnt)) * ((1 << HALF_BITS) - 1)).bit_length()
+
+
+def _planes_to_halves(Z, zmax_bits: int):
+    """int32[P, m, *b] digit-plane accumulators (non-negative,
+    < 2^zmax_bits, plane e weighted 2^(7e)) -> (list of lazy uint32
+    16-bit-half planes, max bits per half). Each half receives at most
+    a handful of <2^16 contributions, so entries stay well under
+    uint32. Shape/bounds match :func:`halves_info` by construction."""
+    P = Z.shape[0]
     Zu = Z.astype(jnp.uint32)
-    total_bits = DIGIT_BITS * (E - 1) + zmax_bits
-    n_halves = -(-total_bits // HALF_BITS) + 1
+    n_halves, hbits = halves_info(P, zmax_bits)
     acc = [None] * n_halves
 
     def _add(idx, val):
         acc[idx] = val if acc[idx] is None else acc[idx] + val
 
     M = np.uint32(0xFFFF)
-    for e in range(E):
+    for e in range(P):
         bitpos = DIGIT_BITS * e
         q, r = bitpos >> 4, bitpos & 15
         z = Zu[e]
@@ -131,20 +216,114 @@ def recompose_reduce(Z, field: Field, zmax_bits: int):
             _add(q + 2, z >> np.uint32(32 - r))
     zero = jnp.zeros_like(Zu[0])
     halves = [a if a is not None else zero for a in acc]
-    return limbs.mont_reduce_wide(halves, field, reduce_iters(field))
+    return halves, hbits
 
 
-def apply_matrix(A: jnp.ndarray, x, field: Field, m: int, zmax_bits: int):
+def recompose_reduce(Z, field: Field, zmax_bits: int, fold_mat=None):
+    """int32[P, m, *b] digit-plane accumulators (non-negative, < 2^zmax_bits)
+    -> canonical Montgomery word planes uint32[W, m, *b]: re-base the digit
+    sums to 16-bit half planes (lazy), then Montgomery wide-reduce by
+    2^(16*(L+1)).
+
+    FOLD path: instead of the iters = L+1 VPU CIOS elimination passes,
+    ONE small int8 matmul against the fold matrix (``fold_mat`` operand
+    inside Pallas kernels; built on the fly for XLA graphs) followed by a
+    FOLD_TAIL_ITERS-step tail — reduction mod p is linear over digit
+    planes, so it rides the MXU (VERDICT r3 item 3b)."""
+    halves, hbits = _planes_to_halves(Z, zmax_bits)
+    if not fold_active(field):
+        return limbs.mont_reduce_wide(halves, field, reduce_iters(field))
+    if fold_mat is None:
+        fold_mat = jnp.asarray(fold_reduce_matrix(
+            field, len(halves), hbits, zmax_bits))
+    return _fold_reduce(halves, hbits, field, fold_mat)
+
+
+def _fold_reduce(halves: list, hbits: int, field: Field, F):
+    """Σ_j halves[j]·2^(16j), each < 2^hbits  ->  value·2^(-16·iters)
+    mod p, canonical: 7-bit digit split, fold matmul, short CIOS tail.
+    ``F`` must match fold_reduce_matrix(field, len(halves), hbits, ...)."""
+    J = len(halves)
+    nd = -(-hbits // DIGIT_BITS)
+    D = n_digits(field)
+    rest = halves[0].shape
+    planes = []
+    for j in range(J):
+        h = halves[j]
+        for t in range(nd):
+            planes.append((h >> np.uint32(DIGIT_BITS * t))
+                          & np.uint32(DIGIT_MASK))
+    C = F.shape[1]  # padded contraction size (>= J*nd)
+    zero = jnp.zeros_like(halves[0])
+    planes += [zero] * (C - len(planes))
+    Hd = jnp.stack(planes, axis=0).astype(jnp.int8)  # [C, m, *b]
+    Z2 = jax.lax.dot_general(
+        F, Hd.reshape(C, -1),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)            # [D, m*b]
+    Z2 = Z2.reshape((D,) + rest)
+    zmax2 = (J * nd * DIGIT_MASK ** 2).bit_length()
+    halves2, _ = _planes_to_halves(Z2, zmax2)
+    return limbs.mont_reduce_wide(halves2, field, FOLD_TAIL_ITERS)
+
+
+_fold_matrix_cache: dict = {}
+
+
+def fold_reduce_matrix(field: Field, J: int, hbits: int,
+                       zmax_bits: int) -> np.ndarray:
+    """int8 fold matrix F[e, j·nd + t] = digit_e((2^(7t + 16j)
+    · 2^(16·FOLD_TAIL_ITERS − 16·iters)) mod p): one matmul against it
+    maps J lazy half planes to D digit planes whose recomposed value is
+    ≡ input·2^(16·tail − 16·iters) (mod p) — the whole Montgomery
+    elimination except a 2-step tail. Host numpy, cached, contraction
+    dim zero-padded to a multiple of 32 (int8 sublane tile).
+
+    Build-time asserts pin the exactness window: the folded value must
+    fit the tail's mont_reduce_wide precondition."""
+    key = (field.name, J, hbits, zmax_bits)
+    got = _fold_matrix_cache.get(key)
+    if got is not None:
+        return got
+    p = field.p
+    D = n_digits(field)
+    nd = -(-hbits // DIGIT_BITS)
+    iters = reduce_iters(field)
+    # scale = 2^(16·tail − 16·iters) mod p (modular inverse of 2^16 per
+    # net eliminated half)
+    sh = 16 * FOLD_TAIL_ITERS - 16 * iters
+    scale = pow(2, sh, p) if sh >= 0 else pow(
+        pow(2, -sh, p), p - 2, p)
+    C = -(-(J * nd) // 32) * 32
+    F = np.zeros((D, C), dtype=np.int8)
+    for j in range(J):
+        cj = (pow(2, 16 * j, p) * scale) % p
+        for t in range(nd):
+            v = (cj << (DIGIT_BITS * t)) % p
+            for e in range(D):
+                F[e, j * nd + t] = (v >> (DIGIT_BITS * e)) & DIGIT_MASK
+    # exactness windows (build-time, host ints):
+    zmax2 = (J * nd * DIGIT_MASK ** 2).bit_length()
+    v2_max = 1 << (DIGIT_BITS * (D - 1) + zmax2)
+    assert v2_max < (1 << (16 * FOLD_TAIL_ITERS)) * p, \
+        "fold tail window overflow — raise FOLD_TAIL_ITERS"
+    assert J * nd * DIGIT_MASK ** 2 < (1 << 31), "fold matmul overflow"
+    _fold_matrix_cache[key] = F
+    return F
+
+
+def apply_matrix(A: jnp.ndarray, x, field: Field, m: int, zmax_bits: int,
+                 fold_mat=None):
     """Apply a digit convolution matrix (from :func:`conv_matrix`) to
     Montgomery-form data.
 
     x: uint32[W, m, *batch]  ->  uint32[W, m, *batch], the modular linear map
     mont(M @ x) along axis 1, computed as one int8 MXU matmul + one VPU
-    Montgomery reduction.
+    Montgomery reduction (or the fold path — see FOLD).
     """
     W = field.n_words
     D = n_digits(field)
-    E = 2 * D - 1
+    E = out_planes(field)
     rest = x.shape[2:]
     d = extract_digits(x, field)              # [D, m, *rest] int8
 
@@ -175,4 +354,4 @@ def apply_matrix(A: jnp.ndarray, x, field: Field, m: int, zmax_bits: int):
         Zs = [dot2(d4[:, :, j, :].reshape(D * m, B)).reshape(E, m, B)
               for j in range(mid)]
         Z = jnp.stack(Zs, axis=2).reshape((E, m) + rest)
-    return recompose_reduce(Z, field, zmax_bits)
+    return recompose_reduce(Z, field, zmax_bits, fold_mat=fold_mat)

@@ -40,21 +40,12 @@ from .specs import assert_block_legal, pallas_interpret
 DEFAULT_BATCH_TILE = 256
 
 
-def _kernel_tw(x_ref, a_ref, t_ref, o_ref, *, field, m, zmax_bits,
-               transpose_out):
-    _body(x_ref, a_ref, t_ref, o_ref, field, m, zmax_bits, transpose_out)
-
-
-def _kernel_no_tw(x_ref, a_ref, o_ref, *, field, m, zmax_bits,
-                  transpose_out):
-    _body(x_ref, a_ref, None, o_ref, field, m, zmax_bits, transpose_out)
-
-
-def _body(x_ref, a_ref, t_ref, o_ref, field, m, zmax_bits, transpose_out):
+def _body(x_ref, a_ref, t_ref, f_ref, o_ref, field, m, zmax_bits,
+          transpose_out):
     x = x_ref[:]                                    # [W, m, Bt]
     Bt = x.shape[2]
     D = digits.n_digits(field)
-    E = 2 * D - 1
+    E = digits.out_planes(field)
     d = digits.extract_digits(x, field)             # [D, m, Bt] int8
     Z = jax.lax.dot_general(
         a_ref[:], d.reshape(D * m, Bt),
@@ -64,24 +55,35 @@ def _body(x_ref, a_ref, t_ref, o_ref, field, m, zmax_bits, transpose_out):
     # for multi-level wide-field compiles — see limbs.LOOP_SINGLE)
     with limbs.fori_limb_loops(enabled=False):
         y = digits.recompose_reduce(
-            Z.reshape(E, m, Bt), field, zmax_bits)   # [W, m, Bt]
+            Z.reshape(E, m, Bt), field, zmax_bits,
+            fold_mat=f_ref[:] if f_ref is not None else None)
         if t_ref is not None:
             y = limbs.mont_mul(y, t_ref[:], field)
     o_ref[:] = jnp.swapaxes(y, 1, 2) if transpose_out else y
 
 
+def _kernel_level(*refs, field, m, zmax_bits, transpose_out, has_tw):
+    x_ref, a_ref = refs[0], refs[1]
+    rest = list(refs[2:-1])
+    o_ref = refs[-1]
+    t_ref = rest.pop(0) if has_tw else None
+    f_ref = rest.pop(0) if digits.fold_active(field) else None
+    _body(x_ref, a_ref, t_ref, f_ref, o_ref, field, m, zmax_bits,
+          transpose_out)
+
+
 @functools.lru_cache(maxsize=None)
 def _build(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
-           transpose_out: bool, interpret: bool):
+           transpose_out: bool, interpret: bool, f_shape=None):
     field = get_field(field_name)
     W = field.n_words
     D = digits.n_digits(field)
-    E = 2 * D - 1
+    E = digits.out_planes(field)
     zmax_bits = (m * D * digits.DIGIT_MASK ** 2).bit_length()
 
     kern = functools.partial(
-        _kernel_tw if has_tw else _kernel_no_tw,
-        field=field, m=m, zmax_bits=zmax_bits, transpose_out=transpose_out)
+        _kernel_level, field=field, m=m, zmax_bits=zmax_bits,
+        transpose_out=transpose_out, has_tw=has_tw)
 
     in_specs = [
         pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
@@ -95,6 +97,9 @@ def _build(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
         in_specs.append(pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
                                      memory_space=pltpu.VMEM))
         assert_block_legal((W, m, Bt), (W, m, B), "fused_level T3")
+    if f_shape is not None:
+        in_specs.append(pl.BlockSpec(f_shape, lambda j: (0, 0),
+                                     memory_space=pltpu.VMEM))
     if transpose_out:
         out_spec = pl.BlockSpec((W, Bt, m), lambda j: (0, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -105,8 +110,9 @@ def _build(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
         out_shape = (W, m, B)
     assert_block_legal(out_spec.block_shape, out_shape, "fused_level out")
 
-    def call(x3, A, T3=None):
-        args = (x3, A) + ((T3,) if has_tw else ())
+    def call(x3, A, T3=None, F=None):
+        args = (x3, A) + ((T3,) if has_tw else ()) \
+            + ((F,) if f_shape is not None else ())
         return pl.pallas_call(
             kern,
             grid=(B // Bt,),
@@ -185,14 +191,21 @@ def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
 @functools.lru_cache(maxsize=None)
 def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
                transpose_out: bool, inverse: bool, interpret: bool,
-               rep: int = 1):
+               rep: int = 1, fold: bool = False):
+    # ``fold`` mirrors digits.FOLD — an explicit arg so the lru cache
+    # key distinguishes fold-mode builds (tests monkeypatch the flag)
     from ..transforms import mxu as _mxu
     from ..transforms.core import host_power_matrix
     field = get_field(field_name)
     W = field.n_words
     D = digits.n_digits(field)
-    E = 2 * D - 1
+    E = digits.out_planes(field)
     sizes = tuple(sorted(sz for sz in _mxu.base_sizes(m) if sz > 1))
+    if fold:
+        # fold matrices ride the same operand slots, keyed -sz (the
+        # in-kernel _base_ntt pulls mats[-m]); shapes from the cached
+        # host build
+        sizes = sizes + tuple(-sz for sz in sizes)
     # host numpy ONLY in this lru-cached scope: converting to jnp here
     # would capture a constant-tracer from whichever trace builds first
     # and leak it into later traces (same footgun as mxu._matrix_cache)
@@ -220,10 +233,15 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
                              memory_space=pltpu.VMEM)]
     assert_block_legal((W, m, Bt), (W, m, B), "fused_subntt x")
     for sz in sizes:
-        in_specs.append(pl.BlockSpec((E * sz, D * sz), lambda j: (0, 0),
+        if sz > 0:
+            shp = (E * sz, D * sz)
+        else:
+            zb = _mxu._zmax_bits(field, -sz)
+            J, hb = digits.halves_info(E, zb)
+            shp = digits.fold_reduce_matrix(field, J, hb, zb).shape
+        in_specs.append(pl.BlockSpec(shp, lambda j: (0, 0),
                                      memory_space=pltpu.VMEM))
-        assert_block_legal((E * sz, D * sz), (E * sz, D * sz),
-                           "fused_subntt mat")
+        assert_block_legal(shp, shp, "fused_subntt mat")
     for t in inner_tw:
         in_specs.append(pl.BlockSpec(t.shape, lambda j: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
@@ -331,7 +349,8 @@ def fused_subntt(x3, field: Field, inverse: bool, mats, T3=None,
         assert Bt % rep == 0 and Bt // rep >= 8 and rep > 1, (Bt, rep)
     interpret = pallas_interpret()
     call = _build_sub(field.name, m, B, Bt, T3 is not None, transpose_out,
-                      inverse, interpret, rep=rep)
+                      inverse, interpret, rep=rep,
+                      fold=digits.fold_active(field))
     return call(x3, mats, T3)
 
 
@@ -339,8 +358,8 @@ def fused_subntt(x3, field: Field, inverse: bool, mats, T3=None,
 PROBE_STAGES = ("stream", "digits", "matmul", "reduce", "tw")
 
 
-def _kernel_probe(x_ref, a_ref, t_ref, o_ref, *, field, m, zmax_bits,
-                  stage):
+def _kernel_probe(x_ref, a_ref, t_ref, f_ref, o_ref, *, field, m,
+                  zmax_bits, stage):
     """The fused level kernel truncated after ``stage`` — the VERDICT-r2
     isolation experiment: timing each truncation on the same tile session
     attributes the kernel's wall-clock between HBM stream, digit extract
@@ -353,7 +372,7 @@ def _kernel_probe(x_ref, a_ref, t_ref, o_ref, *, field, m, zmax_bits,
     W = x.shape[0]
     Bt = x.shape[2]
     D = digits.n_digits(field)
-    E = 2 * D - 1
+    E = digits.out_planes(field)
     d = digits.extract_digits(x, field)             # [D, m, Bt] int8
     if stage == "digits":
         # int32 accumulate: Mosaic has no unsigned reductions (sums of
@@ -370,7 +389,9 @@ def _kernel_probe(x_ref, a_ref, t_ref, o_ref, *, field, m, zmax_bits,
         return
     # mirror the production single-level kernel (unrolled CIOS)
     with limbs.fori_limb_loops(enabled=False):
-        y = digits.recompose_reduce(Z.reshape(E, m, Bt), field, zmax_bits)
+        y = digits.recompose_reduce(
+            Z.reshape(E, m, Bt), field, zmax_bits,
+            fold_mat=f_ref[:] if f_ref is not None else None)
         if stage == "tw":
             y = limbs.mont_mul(y, t_ref[:], field)
     o_ref[:] = y
@@ -378,13 +399,14 @@ def _kernel_probe(x_ref, a_ref, t_ref, o_ref, *, field, m, zmax_bits,
 
 @functools.lru_cache(maxsize=None)
 def _build_probe(field_name: str, m: int, B: int, Bt: int, stage: str,
-                 interpret: bool):
+                 interpret: bool, f_shape=None):
     field = get_field(field_name)
     W = field.n_words
     D = digits.n_digits(field)
-    E = 2 * D - 1
+    E = digits.out_planes(field)
     zmax_bits = (m * D * digits.DIGIT_MASK ** 2).bit_length()
     has_tw = stage == "tw"
+    has_f = f_shape is not None and stage in ("reduce", "tw")
     kern = functools.partial(_kernel_probe, field=field, m=m,
                              zmax_bits=zmax_bits, stage=stage)
 
@@ -398,14 +420,21 @@ def _build_probe(field_name: str, m: int, B: int, Bt: int, stage: str,
     if has_tw:
         in_specs.append(pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
                                      memory_space=pltpu.VMEM))
+    if has_f:
+        in_specs.append(pl.BlockSpec(f_shape, lambda j: (0, 0),
+                                     memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
                             memory_space=pltpu.VMEM)
 
-    def call(x3, A, T3=None):
+    def call(x3, A, T3=None, F=None):
         def body(x_ref, a_ref, *rest):
-            t_ref = rest[0] if has_tw else None
-            kern(x_ref, a_ref, t_ref, rest[-1])
-        args = (x3, A) + ((T3,) if has_tw else ())
+            rest = list(rest)
+            o_ref = rest.pop()
+            t_ref = rest.pop(0) if has_tw else None
+            f_ref = rest.pop(0) if has_f else None
+            kern(x_ref, a_ref, t_ref, f_ref, o_ref)
+        args = (x3, A) + ((T3,) if has_tw else ()) \
+            + ((F,) if has_f else ())
         return pl.pallas_call(
             body,
             grid=(B // Bt,),
@@ -430,20 +459,30 @@ def fused_level_probe(x3, field: Field, A, stage: str, T3=None,
     Bt = batch_tile or vmem_batch_tile(field, m, B, has_tw=stage == "tw")
     assert B % Bt == 0
     interpret = pallas_interpret()
-    call = _build_probe(field.name, m, B, Bt, stage, interpret)
-    return call(x3, A, T3) if stage == "tw" else call(x3, A)
+    F = None
+    if digits.fold_active(field) and stage in ("reduce", "tw"):
+        from ..transforms.mxu import _fold_matrix
+        F = _fold_matrix(field, m)
+    f_shape = tuple(F.shape) if F is not None else None
+    call = _build_probe(field.name, m, B, Bt, stage, interpret, f_shape)
+    return call(x3, A, T3, F) if stage == "tw" else call(x3, A, None, F)
 
 
 def fused_level(x3, field: Field, A, T3=None, transpose_out: bool = True,
-                batch_tile: int | None = None):
+                batch_tile: int | None = None, F=None):
     """One fused four-step level on uint32[W, m, B]: base matmul (conv
     matrix A) + optional full-resolution twiddle T3 [W, m, B] + optional
-    transposed store -> uint32[W, B, m] (else [W, m, B])."""
+    transposed store -> uint32[W, B, m] (else [W, m, B]). ``F``: the
+    Montgomery fold matrix operand (required under digits.FOLD)."""
     W, m, B = x3.shape
     from .mxu_ntt import vmem_batch_tile
     Bt = batch_tile or vmem_batch_tile(field, m, B, has_tw=T3 is not None)
     assert B % Bt == 0
     interpret = pallas_interpret()
+    if F is None and digits.fold_active(field):
+        from ..transforms.mxu import _fold_matrix
+        F = _fold_matrix(field, m)
+    f_shape = tuple(F.shape) if F is not None else None
     call = _build(field.name, m, B, Bt, T3 is not None, transpose_out,
-                  interpret)
-    return call(x3, A, T3) if T3 is not None else call(x3, A)
+                  interpret, f_shape)
+    return call(x3, A, T3, F)

@@ -77,7 +77,7 @@ def vmem_batch_tile(field: Field, m: int, B: int, has_tw: bool = False,
     fits the VMEM budget — makes m=64 bases (and the multi-level
     sub-NTT kernels, ``multi=True``) usable for 256-bit fields."""
     D = digits.n_digits(field)
-    E = 2 * D - 1
+    E = digits.out_planes(field)
     W = field.n_words
     budget = VMEM_BUDGET
     if multi:
@@ -112,11 +112,16 @@ def multi_vmem_limit_mb(field: Field) -> int | None:
     return VMEM_LIMIT_MULTI_MB if field.n_halves > 8 else None
 
 
-def _kernel(x_ref, a_ref, o_ref, *, field: Field, m: int, zmax_bits: int):
+def _kernel(*refs, field: Field, m: int, zmax_bits: int):
     from .. import limbs
+    if digits.fold_active(field):
+        x_ref, a_ref, f_ref, o_ref = refs
+    else:
+        x_ref, a_ref, o_ref = refs
+        f_ref = None
     x = x_ref[:]                                   # [W, m, Bt]
     D = digits.n_digits(field)
-    E = 2 * D - 1
+    E = digits.out_planes(field)
     Bt = x.shape[2]
     d = digits.extract_digits(x, field)            # [D, m, Bt] int8
     Z = jax.lax.dot_general(
@@ -127,53 +132,66 @@ def _kernel(x_ref, a_ref, o_ref, *, field: Field, m: int, zmax_bits: int):
     # faster on chip (TPU_CAMPAIGN_r3/cios_unrolled.log)
     with limbs.fori_limb_loops(enabled=False):
         o_ref[:] = digits.recompose_reduce(
-            Z.reshape(E, m, Bt), field, zmax_bits)
+            Z.reshape(E, m, Bt), field, zmax_bits,
+            fold_mat=f_ref[:] if f_ref is not None else None)
 
 
 @functools.lru_cache(maxsize=None)
-def _build(field_name: str, m: int, Bt: int, interpret: bool):
+def _build(field_name: str, m: int, Bt: int, interpret: bool,
+           f_shape=None):
     field = get_field(field_name)
     W = field.n_words
     D = digits.n_digits(field)
-    E = 2 * D - 1
+    E = digits.out_planes(field)
     zmax_bits = (m * D * digits.DIGIT_MASK ** 2).bit_length()
     kern = functools.partial(_kernel, field=field, m=m, zmax_bits=zmax_bits)
 
-    def call(x, A):
+    def call(x, A, F=None):
         B = x.shape[2]
         assert_block_legal((W, m, Bt), (W, m, B), "base_ntt_mxu x")
         assert_block_legal((E * m, D * m), (E * m, D * m), "base_ntt_mxu A")
+        in_specs = [
+            pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E * m, D * m), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = (x, A)
+        if f_shape is not None:
+            in_specs.append(pl.BlockSpec(f_shape, lambda j: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            args += (F,)
         return pl.pallas_call(
             kern,
             grid=(B // Bt,),
-            in_specs=[
-                pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((E * m, D * m), lambda j: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
             interpret=interpret,
             compiler_params=compiler_params(),
-        )(x, A)
+        )(*args)
 
     return call
 
 
 def base_ntt_mxu_pallas(x, field: Field, inverse: bool,
-                        batch_tile: int | None = None, A=None):
+                        batch_tile: int | None = None, A=None, F=None):
     """m-point NTT along axis 1 of uint32[W, m, B] as one fused Pallas
     kernel (m <= 64; Montgomery form in/out). Pass the conv matrix ``A``
-    explicitly when calling under an outer jit (avoids constant embedding)."""
+    (and, under digits.FOLD, the fold matrix ``F``) explicitly when
+    calling under an outer jit (avoids constant embedding)."""
     W, m, B = x.shape
     if m == 1:
         return x
     if A is None:
         from ..transforms.mxu import _base_matrix
         A = _base_matrix(field, m, inverse)
+    if F is None and digits.fold_active(field):
+        from ..transforms.mxu import _fold_matrix
+        F = _fold_matrix(field, m)
     Bt = batch_tile or vmem_batch_tile(field, m, B)
     assert B % Bt == 0, f"batch {B} must be divisible by tile {Bt}"
     interpret = pallas_interpret()
-    return _build(field.name, m, Bt, interpret)(x, A)
+    f_shape = tuple(F.shape) if F is not None else None
+    return _build(field.name, m, Bt, interpret, f_shape)(x, A, F)

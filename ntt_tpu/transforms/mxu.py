@@ -48,7 +48,7 @@ def _base_matrix(field: Field, m: int, inverse: bool) -> jnp.ndarray:
     """Digit convolution matrix of the m-point DFT (m <= 64), entries
     ω_m^{ik} * R * 2^16 mod p (pre-scaled for Montgomery-form-in/out,
     digits.apply_matrix contract)."""
-    key = (field.name, m, inverse)
+    key = (field.name, m, inverse, digits.FOLD)
     got = _matrix_cache.get(key)
     if got is None:
         p = field.p
@@ -63,6 +63,17 @@ def _base_matrix(field: Field, m: int, inverse: bool) -> jnp.ndarray:
     return jnp.asarray(got)
 
 
+def _fold_matrix(field: Field, m: int):
+    """Per-(field, m) Montgomery fold matrix (digits.FOLD path) as a
+    device array, or None when the fold is off. Keyed -m in the mats
+    dicts so it rides the existing aux-operand plumbing into kernels."""
+    if not digits.fold_active(field):
+        return None
+    zb = _zmax_bits(field, m)
+    J, hbits = digits.halves_info(digits.out_planes(field), zb)
+    return jnp.asarray(digits.fold_reduce_matrix(field, J, hbits, zb))
+
+
 def _zmax_bits(field: Field, m: int) -> int:
     """Exact bound on one int32 accumulator entry: <= m * D * (2^7-1)^2."""
     bound = m * digits.n_digits(field) * digits.DIGIT_MASK ** 2
@@ -75,7 +86,9 @@ def _base_ntt(x, field: Field, inverse: bool, mats=None):
     if m == 1:
         return x
     A = mats[m] if mats is not None else _base_matrix(field, m, inverse)
-    return digits.apply_matrix(A, x, field, m, _zmax_bits(field, m))
+    F = mats.get(-m) if mats is not None else _fold_matrix(field, m)
+    return digits.apply_matrix(A, x, field, m, _zmax_bits(field, m),
+                               fold_mat=F)
 
 
 def twiddle_requests(m: int) -> list:
@@ -106,9 +119,14 @@ def base_mats(field: Field, n: int, inverse: bool,
               residency: bool = False) -> dict:
     """{m: device int8 conv matrix} for every base size — built host-side
     and passed into jit as arguments (an 11MB matrix embedded as an MLIR
-    constant OOMs the TPU compile helper)."""
-    return {m: _base_matrix(field, m, inverse)
-            for m in base_sizes(n, field if residency else None) if m > 1}
+    constant OOMs the TPU compile helper). Under digits.FOLD the dict
+    also carries the per-size fold matrices keyed -m (Pallas kernels
+    take them as operands — constants are rejected in kernel bodies)."""
+    sizes = [m for m in base_sizes(n, field if residency else None) if m > 1]
+    out = {m: _base_matrix(field, m, inverse) for m in sizes}
+    if digits.fold_active(field):
+        out.update({-m: _fold_matrix(field, m) for m in sizes})
+    return out
 
 
 def _base_ntt_pallas(x, field: Field, inverse: bool, mats=None):
@@ -120,8 +138,9 @@ def _base_ntt_pallas(x, field: Field, inverse: bool, mats=None):
     if m == 1:
         return x
     A = mats[m] if mats is not None else None
+    F = mats.get(-m) if mats is not None else None
     xf = x.reshape(W, m, -1) if rest else x.reshape(W, m, 1)
-    y = base_ntt_mxu_pallas(xf, field, inverse, A=A)
+    y = base_ntt_mxu_pallas(xf, field, inverse, A=A, F=F)
     return y.reshape((W, m) + rest)
 
 
@@ -226,9 +245,14 @@ def sub_base_sizes(n: int, sub: int) -> set:
 
 
 def sub_mats(field: Field, n: int, inverse: bool) -> dict:
-    """{m: device int8 conv matrix} for the multi-level sub-NTT driver."""
-    return {m: _base_matrix(field, m, inverse)
-            for m in sub_base_sizes(n, effective_subbase(field)) if m > 1}
+    """{m: device int8 conv matrix} for the multi-level sub-NTT driver
+    (fold matrices keyed -m under digits.FOLD, as in base_mats)."""
+    sizes = [m for m in sub_base_sizes(n, effective_subbase(field))
+             if m > 1]
+    out = {m: _base_matrix(field, m, inverse) for m in sizes}
+    if digits.fold_active(field):
+        out.update({-m: _fold_matrix(field, m) for m in sizes})
+    return out
 
 
 def ntt_mxu_sub(x, field: Field, inverse: bool = False, tws=None,
@@ -277,8 +301,9 @@ def ntt_mxu_chunked(x, field: Field, inverse: bool = False, tws=None,
             # rep>1 (deep levels): sublane-layout i2-resolution twiddle
             # streamed at 1/rep the data size (kernels/mxu_level.py).
             from ..kernels.mxu_level import fused_subntt
-            return fused_subntt(c3, field, inverse,
-                                {c3.shape[1]: mats[c3.shape[1]]}, t3,
+            mm = c3.shape[1]
+            sub = {k: mats[k] for k in (mm, -mm) if k in mats}
+            return fused_subntt(c3, field, inverse, sub, t3,
                                 transpose_out=False, rep=rep)
 
     return ntt_axis_fourstep(x, field, inverse, base, base_max=BASE,
@@ -330,12 +355,14 @@ def ntt_mxu_fused(x, field: Field, inverse: bool = False, tws=None,
     levels = 0
     while remaining > BASE:
         T3 = next(tws)                                   # [W, BASE, n/BASE]
-        cur = fused_level(cur, field, mats[BASE], T3, transpose_out=True)
+        cur = fused_level(cur, field, mats[BASE], T3, transpose_out=True,
+                          F=mats.get(-BASE))
         remaining //= BASE
         levels += 1
         m_next = min(BASE, remaining)
         cur = cur.reshape(W, m_next, n // m_next)
-    y = fused_level(cur, field, mats[remaining], None, transpose_out=False)
+    y = fused_level(cur, field, mats[remaining], None, transpose_out=False,
+                    F=mats.get(-remaining))
     # The per-level transposed stores append each level's output digit
     # AFTER the older suffix, yielding flat order (k_L, k_1, ..., k_{L-1});
     # the four-step convention is (k_L, k_{L-1}, ..., k_1) — one final

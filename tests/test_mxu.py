@@ -333,6 +333,62 @@ def test_fused_level_deep_bc1(monkeypatch):
     assert nt.to_ints(got, f) == nt.to_ints(want, f)
 
 
+def test_mxu_fold_linear_map(monkeypatch):
+    """MXU Montgomery fold (NTT_MXU_FOLD): pre-folded conv matrix (D
+    output planes) + fold-matmul reduction must be bit-identical to the
+    host-exact map for every field — the residue-preservation argument
+    of digits.conv_matrix_folded/fold_reduce_matrix, executed."""
+    from ntt_tpu import digits
+    monkeypatch.setattr(digits, "FOLD", True)
+    import jax.numpy as jnp
+    # fold is wide-field-only (narrow CIOS is already 3-5 iterations and
+    # the fold split planes blow narrow multi-level kernels' VMEM)
+    assert not digits.fold_active(nt.SMALL)
+    assert not digits.fold_active(nt.GOLDILOCKS)
+    for f in (nt.BN254_FR, nt.BLS12_381_FR):
+        m, batch = 8, 3
+        rng = random.Random(5)
+        M = [[rng.randrange(f.p) for _ in range(m)] for _ in range(m)]
+        xs = [[rng.randrange(f.p) for _ in range(m)] for _ in range(batch)]
+        scale = digits.matrix_prescale(f)
+        A = np.asarray(digits.conv_matrix_folded(
+            [[v * scale % f.p for v in row] for row in M], f))
+        assert A.shape[0] == digits.n_digits(f) * m
+        flat = [xs[b][i] for i in range(m) for b in range(batch)]
+        X = limbs.to_mont(
+            limbs.from_ints(flat, f).reshape(f.n_words, m, batch), f)
+        zb = (m * digits.n_digits(f) * digits.DIGIT_MASK ** 2).bit_length()
+        Y = digits.apply_matrix(jnp.asarray(A), X, f, m, zb)
+        got = nt.to_ints(limbs.from_mont(Y, f), f)
+        want = [sum(M[k][i] * xs[b][i] for i in range(m)) % f.p
+                for k in range(m) for b in range(batch)]
+        assert got == want, f.name
+
+
+def test_mxu_fold_full_transform(monkeypatch):
+    """End-to-end under the fold: the Pallas kernel paths (single-level
+    base, fused level with twiddle via mxu_chunked, multi-level
+    fused_subntt via mxu_sub) all take the fold matrices as kernel
+    operands and must match golden."""
+    from ntt_tpu import digits
+    monkeypatch.setattr(digits, "FOLD", True)
+    f, n = nt.BLS12_381_FR, 1 << 8
+    x = oracle.ramp(n, f)
+    golden = oracle.ntt_golden(x, f)
+    for algo in ("mxu_pallas", "mxu_chunked", "mxu_sub"):
+        got = nt.to_ints(nt.ntt(nt.from_ints(x, f), f, algorithm=algo), f)
+        assert got == golden, algo
+    # narrow-field multi-level kernel (m=512 sub-NTT) + roundtrip
+    fs, ns = nt.SMALL, 1 << 10
+    xs = oracle.ramp(ns, fs)
+    gs = oracle.ntt_golden(xs, fs)
+    assert nt.to_ints(nt.ntt(nt.from_ints(xs, fs), fs,
+                             algorithm="mxu_sub"), fs) == gs
+    rt = nt.to_ints(nt.intt(nt.from_ints(gs, fs), fs,
+                            algorithm="mxu_sub"), fs)
+    assert rt == xs
+
+
 def test_mxu_coset_lde():
     f, n = nt.SMALL, 64
     x = oracle.ramp(n, f)

@@ -50,6 +50,9 @@ SUITE = [
 #: its own subprocess): the SUB256 peels, the unrolled-CIOS A/B form,
 #: and the dimension-semantics A/B
 KNOB_SUITE = [
+    ({"NTT_MXU_FOLD": "1"}, ["bls12-381-fr", "18", "mxu_chunked"]),
+    ({"NTT_MXU_FOLD": "1"}, ["bls12-381-fr", "13", "auto", "--inverse"]),
+    ({"NTT_MXU_FOLD": "1"}, ["small-proth", "19", "mxu_sub"]),
     ({"NTT_MXU_SUB256_LOG": "7"}, ["bls12-381-fr", "13", "mxu_sub"]),
     ({"NTT_MXU_SUB256_LOG": "7"}, ["bls12-381-fr", "13", "mxu_sub",
                                    "--inverse"]),
