@@ -35,11 +35,11 @@ Knobs (defaults are the measured-fastest production settings):
                          kernels too (the slower round-3 default; the
                          loop form is compile-required only for
                          multi-level wide kernels — limbs.LOOP_SINGLE)
-- ``NTT_MXU_FOLD=0``     MXU Montgomery fold: pre-folded conv-matrix
+- ``NTT_MXU_FOLD=1``     MXU Montgomery fold: pre-folded conv-matrix
                          rows (D output planes, half the MACs) + the
                          CIOS elimination loop replaced by one small
-                         fold matmul and a 2-step tail (digits.FOLD;
-                         chip A/B pending)
+                         fold matmul and a 2-step tail (digits.FOLD,
+                         wide fields; chip-proven round 4 — 1.63x)
 - ``NTT_FORCE_MOSAIC=0`` force the real Mosaic lowering path off-TPU
                          (host-side TPU lowering checks,
                          kernels/specs.pallas_interpret; read live)

@@ -57,8 +57,11 @@ DIGIT_MASK = (1 << DIGIT_BITS) - 1
 #:     fold matrix (reduction mod p is linear over digit planes) plus a
 #:     2-iteration CIOS tail (``recompose_reduce`` fold path).
 #: Bit-exact vs the CIOS path by construction (residues are preserved
-#: plane-by-plane); property-tested. Default OFF until the chip A/B.
-FOLD = os.environ.get("NTT_MXU_FOLD", "0") == "1"
+#: plane-by-plane); property-tested. Default ON for wide fields since
+#: the round-4 chip proof: bit-exact at 2^18/2^20/2^22 on the v5e and
+#: 1.63x sustained at 2^18 BLS (1.089 vs 1.771 ms, TPU_CAMPAIGN_r4/
+#: fold_{a_base,b,sweep}.log); NTT_MXU_FOLD=0 restores the CIOS path.
+FOLD = os.environ.get("NTT_MXU_FOLD", "1") == "1"
 
 #: CIOS elimination steps remaining after the fold matmul: the folded
 #: value V2 < 2^(7·(D-1) + 21) must satisfy V2 < 2^(16·tail)·p
@@ -257,11 +260,26 @@ def _fold_reduce(halves: list, hbits: int, field: Field, F):
     zero = jnp.zeros_like(halves[0])
     planes += [zero] * (C - len(planes))
     Hd = jnp.stack(planes, axis=0).astype(jnp.int8)  # [C, m, *b]
-    Z2 = jax.lax.dot_general(
-        F, Hd.reshape(C, -1),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)            # [D, m*b]
-    Z2 = Z2.reshape((D,) + rest)
+
+    def dot2(Xf):
+        return jax.lax.dot_general(
+            F, Xf, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    if len(rest) <= 1 or rest[-1] % 128 == 0:
+        # single matmul over the flattened batch — the lane merge is
+        # Mosaic-legal only when the lane dim is 128-aligned (same gate
+        # as apply_matrix; the transposed/sub-128 merge fails with
+        # "unsupported shape cast", found by the AOT dist suite)
+        Z2 = dot2(Hd.reshape(C, -1)).reshape((D,) + rest)
+    else:
+        B = rest[-1]
+        mid = 1
+        for r in rest[:-1]:
+            mid *= r
+        Hd3 = Hd.reshape(C, mid, B)
+        Z2 = jnp.stack([dot2(Hd3[:, j, :]) for j in range(mid)],
+                       axis=1).reshape((D,) + rest)
     zmax2 = (J * nd * DIGIT_MASK ** 2).bit_length()
     halves2, _ = _planes_to_halves(Z2, zmax2)
     return limbs.mont_reduce_wide(halves2, field, FOLD_TAIL_ITERS)
@@ -271,7 +289,8 @@ _fold_matrix_cache: dict = {}
 
 
 def fold_reduce_matrix(field: Field, J: int, hbits: int,
-                       zmax_bits: int) -> np.ndarray:
+                       zmax_bits: int, iters: int | None = None
+                       ) -> np.ndarray:
     """int8 fold matrix F[e, j·nd + t] = digit_e((2^(7t + 16j)
     · 2^(16·FOLD_TAIL_ITERS − 16·iters)) mod p): one matmul against it
     maps J lazy half planes to D digit planes whose recomposed value is
@@ -279,16 +298,21 @@ def fold_reduce_matrix(field: Field, J: int, hbits: int,
     elimination except a 2-step tail. Host numpy, cached, contraction
     dim zero-padded to a multiple of 32 (int8 sublane tile).
 
+    ``iters``: total halves the fold+tail eliminates — the base-matmul
+    reduction uses reduce_iters (prescale R·2^16); the twiddle-product
+    fold uses n_halves (plain Montgomery R).
+
     Build-time asserts pin the exactness window: the folded value must
     fit the tail's mont_reduce_wide precondition."""
-    key = (field.name, J, hbits, zmax_bits)
+    if iters is None:
+        iters = reduce_iters(field)
+    key = (field.name, J, hbits, zmax_bits, iters)
     got = _fold_matrix_cache.get(key)
     if got is not None:
         return got
     p = field.p
     D = n_digits(field)
     nd = -(-hbits // DIGIT_BITS)
-    iters = reduce_iters(field)
     # scale = 2^(16·tail − 16·iters) mod p (modular inverse of 2^16 per
     # net eliminated half)
     sh = 16 * FOLD_TAIL_ITERS - 16 * iters
@@ -310,6 +334,50 @@ def fold_reduce_matrix(field: Field, J: int, hbits: int,
     assert J * nd * DIGIT_MASK ** 2 < (1 << 31), "fold matmul overflow"
     _fold_matrix_cache[key] = F
     return F
+
+
+def mul_fold_info(field: Field) -> tuple:
+    """(J, hbits) of the schoolbook half-product planes of
+    :func:`mont_mul_fold`: 2L+1 planes, the middle one accumulating up
+    to 2L sixteen-bit contributions."""
+    L = field.n_halves
+    return 2 * L + 1, (2 * L * ((1 << HALF_BITS) - 1)).bit_length()
+
+
+def fold_mul_matrix(field: Field) -> np.ndarray:
+    """Fold matrix for the twiddle Montgomery product: eliminates the
+    plain Montgomery factor R = 2^(16·L) (iters = n_halves), applied to
+    the schoolbook product planes of :func:`mont_mul_fold`."""
+    J, hbits = mul_fold_info(field)
+    return fold_reduce_matrix(field, J, hbits, 0, iters=field.n_halves)
+
+
+def mont_mul_fold(x, y, field: Field, F):
+    """Montgomery product x·y·R^{-1} mod p via schoolbook half products
+    + the fold matmul + 2-iteration tail — the MXU-fold replacement for
+    the in-kernel twiddle ``limbs.mont_mul`` (the knockout's largest
+    single VPU stage). ``F`` = :func:`fold_mul_matrix` operand.
+    Bit-exact with limbs.mont_mul (same residue, canonical output)."""
+    a = limbs.unpack(x)
+    b = limbs.unpack(y)
+    L = field.n_halves
+    P = [None] * (2 * L + 1)
+
+    def _add(k, v):
+        P[k] = v if P[k] is None else P[k] + v
+
+    M = np.uint32((1 << HALF_BITS) - 1)
+    for i in range(L):
+        for j in range(L):
+            prod = a[i] * b[j]           # exact: both < 2^16
+            _add(i + j, prod & M)
+            _add(i + j + 1, prod >> np.uint32(HALF_BITS))
+    shp = jnp.broadcast_shapes(*[p.shape for p in P if p is not None])
+    zero = jnp.zeros(shp, jnp.uint32)
+    halves = [jnp.broadcast_to(p, shp) if p is not None else zero
+              for p in P]
+    J, hbits = mul_fold_info(field)
+    return _fold_reduce(halves, hbits, field, F)
 
 
 def apply_matrix(A: jnp.ndarray, x, field: Field, m: int, zmax_bits: int,

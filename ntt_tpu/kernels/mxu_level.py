@@ -40,8 +40,8 @@ from .specs import assert_block_legal, pallas_interpret
 DEFAULT_BATCH_TILE = 256
 
 
-def _body(x_ref, a_ref, t_ref, f_ref, o_ref, field, m, zmax_bits,
-          transpose_out):
+def _body(x_ref, a_ref, t_ref, f_ref, f2_ref, o_ref, field, m,
+          zmax_bits, transpose_out):
     x = x_ref[:]                                    # [W, m, Bt]
     Bt = x.shape[2]
     D = digits.n_digits(field)
@@ -57,7 +57,9 @@ def _body(x_ref, a_ref, t_ref, f_ref, o_ref, field, m, zmax_bits,
         y = digits.recompose_reduce(
             Z.reshape(E, m, Bt), field, zmax_bits,
             fold_mat=f_ref[:] if f_ref is not None else None)
-        if t_ref is not None:
+        if t_ref is not None and f2_ref is not None:
+            y = digits.mont_mul_fold(y, t_ref[:], field, f2_ref[:])
+        elif t_ref is not None:
             y = limbs.mont_mul(y, t_ref[:], field)
     o_ref[:] = jnp.swapaxes(y, 1, 2) if transpose_out else y
 
@@ -66,9 +68,11 @@ def _kernel_level(*refs, field, m, zmax_bits, transpose_out, has_tw):
     x_ref, a_ref = refs[0], refs[1]
     rest = list(refs[2:-1])
     o_ref = refs[-1]
+    fold = digits.fold_active(field)
     t_ref = rest.pop(0) if has_tw else None
-    f_ref = rest.pop(0) if digits.fold_active(field) else None
-    _body(x_ref, a_ref, t_ref, f_ref, o_ref, field, m, zmax_bits,
+    f_ref = rest.pop(0) if fold else None
+    f2_ref = rest.pop(0) if (fold and has_tw) else None
+    _body(x_ref, a_ref, t_ref, f_ref, f2_ref, o_ref, field, m, zmax_bits,
           transpose_out)
 
 
@@ -100,6 +104,10 @@ def _build(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
     if f_shape is not None:
         in_specs.append(pl.BlockSpec(f_shape, lambda j: (0, 0),
                                      memory_space=pltpu.VMEM))
+        if has_tw:
+            f2_shape = digits.fold_mul_matrix(field).shape
+            in_specs.append(pl.BlockSpec(f2_shape, lambda j: (0, 0),
+                                         memory_space=pltpu.VMEM))
     if transpose_out:
         out_spec = pl.BlockSpec((W, Bt, m), lambda j: (0, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -110,9 +118,10 @@ def _build(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
         out_shape = (W, m, B)
     assert_block_legal(out_spec.block_shape, out_shape, "fused_level out")
 
-    def call(x3, A, T3=None, F=None):
+    def call(x3, A, T3=None, F=None, F2=None):
         args = (x3, A) + ((T3,) if has_tw else ()) \
-            + ((F,) if f_shape is not None else ())
+            + ((F,) if f_shape is not None else ()) \
+            + ((F2,) if f_shape is not None and has_tw else ())
         return pl.pallas_call(
             kern,
             grid=(B // Bt,),
@@ -151,13 +160,24 @@ def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
     lowering and crashed at exactly the driver's deep-level sizes;
     caught by tests/test_lowering.py)."""
     from ..transforms import mxu as _mxu
+    fold = digits.fold_active(field)
     x_ref = refs[0]
     mat_refs = refs[1:1 + len(sizes)]
     tw_refs = refs[1 + len(sizes):1 + len(sizes) + n_inner]
-    t3_ref = refs[1 + len(sizes) + n_inner] if has_tw else None
+    pos = 1 + len(sizes) + n_inner
+    t3_ref = refs[pos] if has_tw else None
+    # twiddle-fold matrix operand (fold + has_tw): the decomposition-
+    # twiddle Montgomery product also rides the MXU (mont_mul_fold)
+    f2_ref = refs[pos + 1] if (has_tw and fold) else None
     o_ref = refs[-1]
     mats = {sz: r[:] for sz, r in zip(sizes, mat_refs)}
     tws = iter([r[:] for r in tw_refs])
+
+    def tw_mul(v, t):
+        if f2_ref is not None:
+            return digits.mont_mul_fold(v, t, field, f2_ref[:])
+        return limbs.mont_mul(v, t, field)
+
     # the loop-form CIOS is compile-REQUIRED only for MULTI-level wide
     # kernels (m > BASE: the unrolled 16-half multi-level IR OOMs the
     # Mosaic compile helper, round 2); single-level tiles take the
@@ -166,7 +186,7 @@ def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
         y = _mxu.ntt_axis_mxu(x_ref[:], field, inverse=inverse, tws=tws,
                               mats=mats)
         if t3_ref is not None and rep == 1:
-            y = limbs.mont_mul(y, t3_ref[:], field)
+            y = tw_mul(y, t3_ref[:])
         if t3_ref is not None and rep > 1:
             # Deep level: multiply in TRANSPOSED layout. Expanding the
             # [W, k_cols, m] twiddle block to batch resolution is then a
@@ -182,6 +202,15 @@ def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
             texp = jnp.broadcast_to(
                 tb[:, :, None, :],
                 (W_, k_cols, rep_in, m_)).reshape(W_, Bt_, m_)
+            if f2_ref is not None:
+                # fold multiply in NATURAL layout (the fold matmul's
+                # lane merge needs the 128-aligned Bt trailing; the
+                # transposed [*, Bt, m] merge fails Mosaic) — transpose
+                # the expanded twiddle back instead of the data
+                y2 = digits.mont_mul_fold(
+                    y, jnp.swapaxes(texp, 1, 2), field, f2_ref[:])
+                o_ref[:] = jnp.swapaxes(y2, 1, 2) if transpose_out else y2
+                return
             yt = limbs.mont_mul(jnp.swapaxes(y, 1, 2), texp, field)
             o_ref[:] = yt if transpose_out else jnp.swapaxes(yt, 1, 2)
             return
@@ -263,6 +292,12 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
             memory_space=pltpu.VMEM))
         assert_block_legal((W, k_cols, m), (W, n2_cols, m),
                            "fused_subntt T3s")
+    if has_tw and fold:
+        # twiddle-fold matrix (digits.fold_mul_matrix): tiny resident
+        # int8 operand for the in-kernel mont_mul_fold
+        f2_shape = digits.fold_mul_matrix(field).shape
+        in_specs.append(pl.BlockSpec(f2_shape, lambda j: (0, 0),
+                                     memory_space=pltpu.VMEM))
     if transpose_out:
         out_spec = pl.BlockSpec((W, Bt, m), lambda j: (0, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -276,10 +311,22 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
     from .mxu_ntt import multi_vmem_limit_mb
 
     def call(x3, mats, T3=None):
-        args = (x3,) + tuple(mats[sz] for sz in sizes) \
+        def mat_arg(sz):
+            # fold matrices are KB-scale: when a caller-built mats dict
+            # lacks them, build on the fly (harmless as an outer-jit
+            # constant — only MB-scale constants are banned)
+            if sz in mats:
+                return mats[sz]
+            if sz == -1:
+                return jnp.asarray(digits.fold_mul_matrix(field))
+            return _mxu._fold_matrix(field, -sz)
+
+        args = (x3,) + tuple(mat_arg(sz) for sz in sizes) \
             + tuple(jnp.asarray(t) for t in inner_tw)
         if has_tw:
             args += (T3,)
+            if fold:
+                args += (mat_arg(-1),)  # fold_mul_matrix, keyed -1
         return pl.pallas_call(
             kern,
             grid=(B // Bt,),
@@ -469,7 +516,7 @@ def fused_level_probe(x3, field: Field, A, stage: str, T3=None,
 
 
 def fused_level(x3, field: Field, A, T3=None, transpose_out: bool = True,
-                batch_tile: int | None = None, F=None):
+                batch_tile: int | None = None, F=None, F2=None):
     """One fused four-step level on uint32[W, m, B]: base matmul (conv
     matrix A) + optional full-resolution twiddle T3 [W, m, B] + optional
     transposed store -> uint32[W, B, m] (else [W, m, B]). ``F``: the
@@ -479,10 +526,13 @@ def fused_level(x3, field: Field, A, T3=None, transpose_out: bool = True,
     Bt = batch_tile or vmem_batch_tile(field, m, B, has_tw=T3 is not None)
     assert B % Bt == 0
     interpret = pallas_interpret()
-    if F is None and digits.fold_active(field):
-        from ..transforms.mxu import _fold_matrix
-        F = _fold_matrix(field, m)
+    if digits.fold_active(field):
+        if F is None:
+            from ..transforms.mxu import _fold_matrix
+            F = _fold_matrix(field, m)
+        if F2 is None and T3 is not None:
+            F2 = jnp.asarray(digits.fold_mul_matrix(field))
     f_shape = tuple(F.shape) if F is not None else None
     call = _build(field.name, m, B, Bt, T3 is not None, transpose_out,
                   interpret, f_shape)
-    return call(x3, A, T3, F)
+    return call(x3, A, T3, F, F2)

@@ -126,6 +126,7 @@ def base_mats(field: Field, n: int, inverse: bool,
     out = {m: _base_matrix(field, m, inverse) for m in sizes}
     if digits.fold_active(field):
         out.update({-m: _fold_matrix(field, m) for m in sizes})
+        out[-1] = jnp.asarray(digits.fold_mul_matrix(field))
     return out
 
 
@@ -252,6 +253,7 @@ def sub_mats(field: Field, n: int, inverse: bool) -> dict:
     out = {m: _base_matrix(field, m, inverse) for m in sizes}
     if digits.fold_active(field):
         out.update({-m: _fold_matrix(field, m) for m in sizes})
+        out[-1] = jnp.asarray(digits.fold_mul_matrix(field))
     return out
 
 
@@ -302,7 +304,7 @@ def ntt_mxu_chunked(x, field: Field, inverse: bool = False, tws=None,
             # streamed at 1/rep the data size (kernels/mxu_level.py).
             from ..kernels.mxu_level import fused_subntt
             mm = c3.shape[1]
-            sub = {k: mats[k] for k in (mm, -mm) if k in mats}
+            sub = {k: mats[k] for k in (mm, -mm, -1) if k in mats}
             return fused_subntt(c3, field, inverse, sub, t3,
                                 transpose_out=False, rep=rep)
 
@@ -356,13 +358,13 @@ def ntt_mxu_fused(x, field: Field, inverse: bool = False, tws=None,
     while remaining > BASE:
         T3 = next(tws)                                   # [W, BASE, n/BASE]
         cur = fused_level(cur, field, mats[BASE], T3, transpose_out=True,
-                          F=mats.get(-BASE))
+                          F=mats.get(-BASE), F2=mats.get(-1))
         remaining //= BASE
         levels += 1
         m_next = min(BASE, remaining)
         cur = cur.reshape(W, m_next, n // m_next)
-    y = fused_level(cur, field, mats[remaining], None, transpose_out=False,
-                    F=mats.get(-remaining))
+    y = fused_level(cur, field, mats[remaining], None,
+                    transpose_out=False, F=mats.get(-remaining))
     # The per-level transposed stores append each level's output digit
     # AFTER the older suffix, yielding flat order (k_L, k_1, ..., k_{L-1});
     # the four-step convention is (k_L, k_{L-1}, ..., k_1) — one final
