@@ -405,7 +405,7 @@ def fused_subntt(x3, field: Field, inverse: bool, mats, T3=None,
 PROBE_STAGES = ("stream", "digits", "matmul", "reduce", "tw")
 
 
-def _kernel_probe(x_ref, a_ref, t_ref, f_ref, o_ref, *, field, m,
+def _kernel_probe(x_ref, a_ref, t_ref, f_ref, f2_ref, o_ref, *, field, m,
                   zmax_bits, stage):
     """The fused level kernel truncated after ``stage`` — the VERDICT-r2
     isolation experiment: timing each truncation on the same tile session
@@ -434,12 +434,15 @@ def _kernel_probe(x_ref, a_ref, t_ref, f_ref, o_ref, *, field, m,
     if stage == "matmul":
         o_ref[:] = Z.reshape(E, m, Bt)[:W].astype(jnp.uint32)
         return
-    # mirror the production single-level kernel (unrolled CIOS)
+    # mirror the production single-level kernel (unrolled CIOS; under
+    # the fold, the twiddle product is mont_mul_fold — f2_ref)
     with limbs.fori_limb_loops(enabled=False):
         y = digits.recompose_reduce(
             Z.reshape(E, m, Bt), field, zmax_bits,
             fold_mat=f_ref[:] if f_ref is not None else None)
-        if stage == "tw":
+        if stage == "tw" and f2_ref is not None:
+            y = digits.mont_mul_fold(y, t_ref[:], field, f2_ref[:])
+        elif stage == "tw":
             y = limbs.mont_mul(y, t_ref[:], field)
     o_ref[:] = y
 
@@ -470,18 +473,24 @@ def _build_probe(field_name: str, m: int, B: int, Bt: int, stage: str,
     if has_f:
         in_specs.append(pl.BlockSpec(f_shape, lambda j: (0, 0),
                                      memory_space=pltpu.VMEM))
+        if has_tw:
+            f2_shape = digits.fold_mul_matrix(field).shape
+            in_specs.append(pl.BlockSpec(f2_shape, lambda j: (0, 0),
+                                         memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
                             memory_space=pltpu.VMEM)
 
-    def call(x3, A, T3=None, F=None):
+    def call(x3, A, T3=None, F=None, F2=None):
         def body(x_ref, a_ref, *rest):
             rest = list(rest)
             o_ref = rest.pop()
             t_ref = rest.pop(0) if has_tw else None
             f_ref = rest.pop(0) if has_f else None
-            kern(x_ref, a_ref, t_ref, f_ref, o_ref)
+            f2_ref = rest.pop(0) if (has_f and has_tw) else None
+            kern(x_ref, a_ref, t_ref, f_ref, f2_ref, o_ref)
         args = (x3, A) + ((T3,) if has_tw else ()) \
-            + ((F,) if has_f else ())
+            + ((F,) if has_f else ()) \
+            + ((F2,) if has_f and has_tw else ())
         return pl.pallas_call(
             body,
             grid=(B // Bt,),
@@ -506,13 +515,16 @@ def fused_level_probe(x3, field: Field, A, stage: str, T3=None,
     Bt = batch_tile or vmem_batch_tile(field, m, B, has_tw=stage == "tw")
     assert B % Bt == 0
     interpret = pallas_interpret()
-    F = None
+    F = F2 = None
     if digits.fold_active(field) and stage in ("reduce", "tw"):
         from ..transforms.mxu import _fold_matrix
         F = _fold_matrix(field, m)
+        if stage == "tw":
+            F2 = jnp.asarray(digits.fold_mul_matrix(field))
     f_shape = tuple(F.shape) if F is not None else None
     call = _build_probe(field.name, m, B, Bt, stage, interpret, f_shape)
-    return call(x3, A, T3, F) if stage == "tw" else call(x3, A, None, F)
+    return (call(x3, A, T3, F, F2) if stage == "tw"
+            else call(x3, A, None, F))
 
 
 def fused_level(x3, field: Field, A, T3=None, transpose_out: bool = True,
