@@ -60,3 +60,35 @@ def test_device_twiddles_match_native():
     got = [sum(int(master[k, j]) << (32 * k) for k in range(f.n_words))
            for j in range(m // 2)]
     assert got == native
+
+
+@pytest.mark.parametrize("field", [fields.BLS12_381_FR, fields.SMALL],
+                         ids=lambda f: f.name)
+def test_sweep_full_compare(field):
+    """tools/sweep.py SWEEP_VERIFY=full path: every-position compare of a
+    device run vs the hostlib oracle (the reference checks all elements,
+    GZKP-NTT.cu:1627-1631), streamed in static-size chunks."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.sweep import full_compare, host_planes
+
+    import jax
+    from ntt_tpu.api import get_runner, ramp_mont
+
+    n = 1 << 10
+    run, aux = get_runner(field, n, False, "auto", True, None)
+    y = jax.jit(run)(ramp_mont(field, n), aux)
+    want = hostlib.ntt_np(hostlib.ramp_np(n), field)
+    # chunk smaller than n so the loop takes >1 slice
+    assert full_compare(y, want, field, chunk_log=8)
+    # corrupting ONE word of ONE position must be caught
+    bad = want.copy()
+    bad[n // 3, 0] ^= np.uint64(1)
+    assert not full_compare(y, bad, field, chunk_log=8)
+    # plane layout helper agrees with the powers_np convention
+    planes = host_planes(want, field.n_words)
+    assert planes.shape == (field.n_words, n)

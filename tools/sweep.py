@@ -5,7 +5,11 @@ each point spot-verified against the native C++ hostlib oracle
 
 Usage: python tools/sweep.py [field] [algo] [logn,logn,...]
 Env: SWEEP_VERIFY=0 to skip the hostlib check (it costs one exact host
-NTT per size — ~2 min at 2^24).
+NTT per size — ~2 min at 2^24). SWEEP_VERIFY=full compares EVERY output
+position against the host oracle (the reference checks all elements,
+GZKP-NTT.cu:1627-1631), streamed through the tunnel in
+2^SWEEP_FULL_CHUNK_LOG-position slices (default 2^18 = 8MB per fetch
+for 256-bit fields).
 """
 
 import json
@@ -24,6 +28,37 @@ def sync(y):
     np.asarray(jax.jit(lambda v: v.ravel()[:1])(y))
 
 
+def host_planes(want_rows, n_words):
+    """np.uint64[n, 4] hostlib rows -> np.uint32[W, n] device word planes
+    (little-endian limbs, mirrors hostlib.powers_np)."""
+    n = want_rows.shape[0]
+    words = want_rows.view(np.uint32).reshape(n, 8)
+    return np.ascontiguousarray(words[:, :n_words].T)
+
+
+def full_compare(y_mont, want_rows, field, chunk_log=18):
+    """Bit-exact compare of EVERY output position vs the host oracle.
+
+    ``y_mont`` is the on-device Montgomery-form result uint32[W, n];
+    ``want_rows`` the hostlib standard-form uint64[n, 4]. One jitted
+    slice+from_mont program is reused for every chunk (a static chunk
+    size keeps it a single compile); the compare itself is a numpy
+    plane equality — no Python-int round trip, so 2^22 x 256-bit costs
+    ~16 x 8MB fetches, not minutes of int conversion."""
+    from ntt_tpu import limbs
+
+    n = int(y_mont.shape[1])
+    want = host_planes(want_rows, field.n_words)
+    c = min(n, 1 << chunk_log)
+    sl = jax.jit(lambda v, s: limbs.from_mont(
+        jax.lax.dynamic_slice_in_dim(v, s, c, axis=1), field))
+    for lo in range(0, n, c):
+        got = np.asarray(sl(y_mont, lo))
+        if not np.array_equal(got, want[:, lo:lo + c]):
+            return False
+    return True
+
+
 def main():
     field_name = sys.argv[1] if len(sys.argv) > 1 else "bls12-381-fr"
     algo = sys.argv[2] if len(sys.argv) > 2 else "auto"
@@ -35,10 +70,12 @@ def main():
     from ntt_tpu.api import get_runner, ramp_mont, resolve_algorithm
 
     field = nt.get_field(field_name)
-    verify = (os.environ.get("SWEEP_VERIFY", "1") == "1"
-              and hostlib.available() and field.bits <= 256)
+    vmode = os.environ.get("SWEEP_VERIFY", "1")
+    verify = (vmode != "0" and hostlib.available() and field.bits <= 256)
+    full = verify and vmode == "full"
     print(f"# sweep field={field.name} algo={algo} verify={verify} "
-          f"backend={jax.devices()[0].device_kind}", file=sys.stderr)
+          f"full={full} backend={jax.devices()[0].device_kind}",
+          file=sys.stderr)
 
     def check_subsample(n, y_mont, k=64):
         """k output positions vs the exact native-host NTT of the ramp."""
@@ -114,8 +151,15 @@ def main():
             # the verify call is the LAST use of x: donate it so the
             # forward pass at the HBM-limit sizes (2^26 BLS = 4GB data)
             # reuses the input buffer instead of holding x+y live
-            rec["bitexact"] = bool(check_subsample(n, jax.jit(
-                lambda v, a: run(v, a), donate_argnums=0)(x, aux)))
+            y = jax.jit(lambda v, a: run(v, a), donate_argnums=0)(x, aux)
+            if full:
+                want_all = hostlib.ntt_np(hostlib.ramp_np(n), field)
+                rec["bitexact"] = bool(full_compare(
+                    y, want_all, field,
+                    int(os.environ.get("SWEEP_FULL_CHUNK_LOG", "18"))))
+                rec["verify"] = f"full:{n}"
+            else:
+                rec["bitexact"] = bool(check_subsample(n, y))
         print(json.dumps(rec))
 
 
