@@ -70,6 +70,46 @@ def _axis_size(mesh: Mesh, axis: str = AXIS) -> int:
     return mesh.shape[axis]
 
 
+def exchange_options(n: int, mesh: Mesh) -> dict:
+    """Which transpose exchanges are eligible at this (n, mesh), and why.
+
+    The Pallas remote-DMA all-to-all has a scale contract (Mosaic DMA
+    slices must be 128-lane aligned, so the per-peer chunk
+    (n1/D)*(n2/D) must be a multiple of 128 — n >= 128*D^2 on a 1-D
+    mesh); previously it lived only in a kernels/exchange.py docstring
+    and an ineligible request surfaced as a trace-time error. This
+    reports each exchange's eligibility up front so callers can see
+    what scale would unlock the overlapped-DMA path instead of
+    silently defaulting to all_to_all.
+
+    Returns {exchange_name: {"eligible": bool, "why": str}}.
+    """
+    D = _axis_size(mesh)
+    n1, n2 = split_log(n)
+    chunk = (n1 // D) * (n2 // D)
+    one_d = len(mesh.axis_names) == 1
+    if not one_d:
+        why = (f"needs a 1-D mesh (got axes {mesh.axis_names}): the "
+               "remote-DMA kernel addresses peers by single-coordinate "
+               "device id and shares one barrier across the axis")
+    elif chunk % 128 or chunk == 0:
+        need = 128 * D * D
+        why = (f"per-peer chunk (n1/D)*(n2/D) = {chunk} is not a "
+               f"multiple of 128 (Mosaic DMA slice alignment): needs "
+               f"n >= 128*D^2 = {need} (2^{need.bit_length() - 1}) "
+               f"at D={D}")
+    else:
+        why = "remote-DMA a2a: all peer chunks in flight concurrently"
+    return {
+        "all_to_all": {"eligible": True,
+                       "why": "monolithic XLA collective, any mesh"},
+        "ring": {"eligible": True,
+                 "why": f"{D - 1} ppermute steps, any mesh"},
+        "pallas": {"eligible": one_d and chunk > 0 and chunk % 128 == 0,
+                   "why": why},
+    }
+
+
 def shard_for_ntt(x, field: Field, mesh: Mesh, axis: str = AXIS):
     """Place a replicated/host uint32[W, n] array into the distributed
     four-step layout: uint32[W, n1, n2] with i2 (axis 2) sharded."""
@@ -268,16 +308,23 @@ def make_dist_ntt(field: Field, n: int, mesh: Mesh, inverse: bool = False,
 
     n1, n2 = split_log(n)
     D = _axis_size(mesh)
-    if exchange == "pallas" and len(mesh.axis_names) != 1:
-        # The remote-DMA kernel addresses peers with single-coordinate
-        # MESH device ids and a single shared barrier (collective_id=7):
-        # on a factored (replica, ntt) mesh it would mis-address devices
-        # and concurrent replica groups would collide on the barrier
-        # (ADVICE round 2, medium). Use the XLA all_to_all there.
-        raise ValueError(
-            "exchange='pallas' requires a 1-D mesh (got axes "
-            f"{mesh.axis_names}); use exchange='all_to_all' on factored "
-            "replica meshes")
+    if exchange == "pallas":
+        # Fail at BUILD time with the eligibility report (the Mosaic
+        # chunk-alignment contract otherwise surfaces as a trace-time
+        # error on first call — see exchange_options). The mesh-shape
+        # constraint holds even under the interpreter: on a factored
+        # (replica, ntt) mesh the kernel would mis-address peers and
+        # replica groups would collide on the shared barrier
+        # (collective_id=7; ADVICE round 2, medium). The 128-lane chunk
+        # alignment is Mosaic-only, so interpreted (CPU) runs skip it.
+        from ..kernels.specs import pallas_interpret
+        opt = exchange_options(n, mesh)["pallas"]
+        if len(mesh.axis_names) != 1 or (
+                not opt["eligible"] and not pallas_interpret()):
+            raise ValueError(
+                f"exchange='pallas' unavailable at n={n}, "
+                f"D={_axis_size(mesh)}: {opt['why']}; use "
+                "exchange='all_to_all' or 'ring'")
     assert n2 % D == 0, f"n2={n2} must be divisible by '{AXIS}' axis size {D}"
     n2_loc = n2 // D
     n1_loc = n1 // D
