@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import digits, limbs
 from ..fields import Field, get_field
-from .mxu_ntt import compiler_params
+from .mxu_ntt import compiler_params, kernel_vmem_limit_mb
 from .specs import assert_block_legal, pallas_interpret
 
 DEFAULT_BATCH_TILE = 256
@@ -129,7 +129,8 @@ def _build(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
             interpret=interpret,
-            compiler_params=compiler_params(),
+            compiler_params=compiler_params(
+                vmem_limit_mb=kernel_vmem_limit_mb(field, m)),
         )(*args)
 
     return call
@@ -308,8 +309,6 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
         out_shape = (W, m, B)
     assert_block_legal(out_spec.block_shape, out_shape, "fused_subntt out")
 
-    from .mxu_ntt import multi_vmem_limit_mb
-
     def call(x3, mats, T3=None):
         def mat_arg(sz):
             # fold matrices are KB-scale: when a caller-built mats dict
@@ -334,12 +333,13 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
             interpret=interpret,
-            # 256-bit multi-level kernels exceed the 16MB default scoped
-            # VMEM; raise the cap (v5e: 128MB physical) — the tile solver
-            # budgets against the same number (mxu_ntt.vmem_batch_tile)
+            # 256-bit kernels above radix 32 exceed the 16MB default
+            # scoped VMEM (multi-level peels AND the m=64 bases under
+            # NTT_MXU_BASE_LOG=6); raise the cap (v5e: 128MB physical) —
+            # the tile solver budgets against the same number
+            # (mxu_ntt.vmem_batch_tile)
             compiler_params=compiler_params(
-                vmem_limit_mb=multi_vmem_limit_mb(field)
-                if m > _mxu.BASE else None),
+                vmem_limit_mb=kernel_vmem_limit_mb(field, m)),
         )(*args)
 
     return call
@@ -498,7 +498,8 @@ def _build_probe(field_name: str, m: int, B: int, Bt: int, stage: str,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((W, m, B), jnp.uint32),
             interpret=interpret,
-            compiler_params=compiler_params(),
+            compiler_params=compiler_params(
+                vmem_limit_mb=kernel_vmem_limit_mb(field, m)),
         )(*args)
 
     return call

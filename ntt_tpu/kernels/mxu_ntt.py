@@ -112,6 +112,19 @@ def multi_vmem_limit_mb(field: Field) -> int | None:
     return VMEM_LIMIT_MULTI_MB if field.n_halves > 8 else None
 
 
+def kernel_vmem_limit_mb(field: Field, m: int) -> int | None:
+    """Mosaic scoped-VMEM cap for a wide-field kernel of transform
+    length ``m``: 256-bit kernels above the default radix-32 base need
+    the raised cap — both the multi-level peels (m > BASE) and the m=64
+    bases under ``NTT_MXU_BASE_LOG=6``, whose folded conv matrix alone
+    is 5.6MB and whose deep-twiddle variant measured 16.20MB scoped at
+    Bt=256 (206KB over the 16MB Mosaic default — the round-4 radix-64
+    probe's compile OOM at 2^22, TPU_CAMPAIGN_r4/base64_sweep.log).
+    Narrow fields and radix-32 wide kernels keep the chip-proven
+    default."""
+    return VMEM_LIMIT_MULTI_MB if field.n_halves > 8 and m > 32 else None
+
+
 def _kernel(*refs, field: Field, m: int, zmax_bits: int):
     from .. import limbs
     if digits.fold_active(field):
@@ -169,7 +182,8 @@ def _build(field_name: str, m: int, Bt: int, interpret: bool,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
             interpret=interpret,
-            compiler_params=compiler_params(),
+            compiler_params=compiler_params(
+                vmem_limit_mb=kernel_vmem_limit_mb(field, m)),
         )(*args)
 
     return call

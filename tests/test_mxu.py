@@ -228,12 +228,15 @@ def test_fused_subntt_256bit_multilevel():
     ntt_axis_mxu composition, with and without the in-kernel twiddle."""
     import jax.numpy as jnp
     from ntt_tpu.kernels.mxu_level import fused_subntt
-    from ntt_tpu.transforms.mxu import _base_matrix, ntt_axis_mxu
+    from ntt_tpu.transforms.mxu import (_base_matrix, base_sizes,
+                                        ntt_axis_mxu)
     f, m, B = nt.BN254_FR, 128, 128
     rng = random.Random(31)
     xv = [rng.randrange(f.p) for _ in range(m * B)]
     X = limbs.to_mont(nt.from_ints(xv, f).reshape(f.n_words, m, B), f)
-    mats = {32: _base_matrix(f, 32, False), 4: _base_matrix(f, 4, False)}
+    # level radices follow the live BASE knob (32*4 at the default
+    # BASE_LOG=5; 64*2 under NTT_MXU_BASE_LOG=6)
+    mats = {s: _base_matrix(f, s, False) for s in base_sizes(m) if s > 1}
     want = ntt_axis_mxu(X, f, inverse=False, mats=mats)
     got = fused_subntt(X, f, False, mats, None, transpose_out=False)
     assert nt.to_ints(got, f) == nt.to_ints(want, f)
