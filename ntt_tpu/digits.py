@@ -110,6 +110,23 @@ def extract_digits(x, field: Field) -> jnp.ndarray:
     return jnp.stack(planes, axis=0).astype(jnp.int8)
 
 
+def digits_of_ints(vals, n_digits: int) -> np.ndarray:
+    """Vectorized host digit extraction: a list of python ints (each
+    < 2^(7*n_digits)) -> int8[len(vals), n_digits] little-endian 7-bit
+    digits. bytes -> bit matrix -> 7-bit regrouping, all numpy — the
+    conv-matrix builders call this on up to ~10^5 entries per matrix
+    (the per-entry python loop took minutes on the twiddle matrix
+    stacks; ADVICE-round-4-adjacent hot path)."""
+    nbytes = (7 * n_digits + 7) // 8
+    buf = b"".join(v.to_bytes(nbytes, "little") for v in vals)
+    raw = np.frombuffer(buf, np.uint8).reshape(len(vals), nbytes)
+    bits = np.unpackbits(raw, axis=1, bitorder="little")[:, :7 * n_digits]
+    w = (1 << np.arange(7, dtype=np.uint8))
+    digs = (bits.reshape(len(vals), n_digits, 7) * w).sum(
+        axis=2, dtype=np.uint8)
+    return digs.astype(np.int8)
+
+
 def conv_matrix(entries, field: Field) -> np.ndarray:
     """Host build of the digit convolution matrix for a modular linear map.
 
@@ -123,17 +140,11 @@ def conv_matrix(entries, field: Field) -> np.ndarray:
     m = len(entries)
     D = n_digits(field)
     E = 2 * D - 1
-    digs = np.zeros((m, m, D), dtype=np.int8)
-    for k in range(m):
-        row = entries[k]
-        for i in range(m):
-            v = row[i]
-            for t in range(D):
-                digs[k, i, t] = (v >> (DIGIT_BITS * t)) & DIGIT_MASK
+    digs = digits_of_ints(
+        [v for row in entries for v in row], D).reshape(m, m, D)
     A = np.zeros((E, m, D, m), dtype=np.int8)
     for d2 in range(D):
-        for t in range(D):
-            A[d2 + t, :, d2, :] = digs[:, :, t]
+        A[d2:d2 + D, :, d2, :] = digs.transpose(2, 0, 1)
     return A.reshape(E * m, D * m)
 
 
@@ -149,16 +160,20 @@ def conv_matrix_folded(entries, field: Field) -> np.ndarray:
     m = len(entries)
     D = n_digits(field)
     p = field.p
-    A = np.zeros((D, m, D, m), dtype=np.int8)
-    for d2 in range(D):
-        sh = 1 << (DIGIT_BITS * d2)
-        for k in range(m):
-            row = entries[k]
-            for i in range(m):
-                v = (row[i] * sh) % p
-                for t in range(D):
-                    A[t, k, d2, i] = (v >> (DIGIT_BITS * t)) & DIGIT_MASK
-    return A.reshape(D * m, D * m)
+    # per entry, the D shifted residues (v·2^(7·d2)) mod p by iterated
+    # shift-reduce; digit extraction vectorized (digits_of_ints) — the
+    # triple python loop took ~seconds/matrix and made the round-5
+    # twiddle matrix stacks (O(n2) matrices per level) unbuildable
+    vals = []
+    for row in entries:
+        for v in row:
+            cur = v
+            for _ in range(D):
+                vals.append(cur)
+                cur = (cur << DIGIT_BITS) % p
+    digs = digits_of_ints(vals, D).reshape(m, m, D, D)  # [k, i, d2, t]
+    A = digs.transpose(3, 0, 2, 1)                      # [t, k, d2, i]
+    return np.ascontiguousarray(A).reshape(D * m, D * m)
 
 
 def matrix_prescale(field: Field) -> int:
@@ -273,13 +288,21 @@ def _fold_reduce(halves: list, hbits: int, field: Field, F):
         # "unsupported shape cast", found by the AOT dist suite)
         Z2 = dot2(Hd.reshape(C, -1)).reshape((D,) + rest)
     else:
+        # non-128-aligned trailing lane dim: zero-pad it up to the next
+        # multiple of 128 and run ONE merged matmul (<= 4x wasted MACs
+        # on the padding, vs the former per-second-minor-slice unroll —
+        # up to mid separate dispatches on the fold hot path, ADVICE
+        # round 4). The padded merge is the Mosaic-legal case above.
         B = rest[-1]
         mid = 1
         for r in rest[:-1]:
             mid *= r
+        Bp = -(-B // 128) * 128
         Hd3 = Hd.reshape(C, mid, B)
-        Z2 = jnp.stack([dot2(Hd3[:, j, :]) for j in range(mid)],
-                       axis=1).reshape((D,) + rest)
+        pad = jnp.zeros((C, mid, Bp - B), dtype=Hd3.dtype)
+        Hp = jnp.concatenate([Hd3, pad], axis=2)
+        Z2 = dot2(Hp.reshape(C, mid * Bp)).reshape(D, mid, Bp)
+        Z2 = Z2[:, :, :B].reshape((D,) + rest)
     zmax2 = (J * nd * DIGIT_MASK ** 2).bit_length()
     halves2, _ = _planes_to_halves(Z2, zmax2)
     return limbs.mont_reduce_wide(halves2, field, FOLD_TAIL_ITERS)

