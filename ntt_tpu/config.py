@@ -35,6 +35,20 @@ Knobs (defaults are the measured-fastest production settings):
                          kernels too (the slower round-3 default; the
                          loop form is compile-required only for
                          multi-level wide kernels — limbs.LOOP_SINGLE)
+- ``NTT_TW_MATFOLD=1``   twiddle MATRIX fold: decomposition twiddles
+                         folded into conv-matrix stacks + ONE merged
+                         batch-resolution table (wide fields, peel-BASE
+                         drivers; mxu.matfold_tw_tables)
+- ``NTT_TW_STACK_MAX_NT=128`` largest per-level matrix stack the fold
+                         may build (host build time + HBM stream bound)
+- ``NTT_TW_MERGED_MAX=2^24`` largest n whose merged level-1 table
+                         (data-sized) is affordable; above it level 0
+                         switches to the periodic residual
+- ``NTT_TW_RESID=auto``  periodic-residual level-0 fold (TwStackResid:
+                         stack + compact [W, BASE, s0] table streamed
+                         modulo s0 — the in-kernel twiddle-generation
+                         analog): "auto" = only above TW_MERGED_MAX,
+                         "1" = every eligible size, "0" = off
 - ``NTT_MXU_FOLD=1``     MXU Montgomery fold: pre-folded conv-matrix
                          rows (D output planes, half the MACs) + the
                          CIOS elimination loop replaced by one small
@@ -66,6 +80,8 @@ def config_key() -> tuple:
     from .kernels import mxu_ntt
     from .transforms import core, mxu
     return (digits.FOLD, mxu.FUSE_TW, core.RADIX4, api.FACTOR_TW_MIN,
+            mxu.TW_MATFOLD, mxu.TW_STACK_MAX_NT, mxu.TW_MERGED_MAX,
+            mxu.TW_RESID,
             mxu.BASE_LOG,
             mxu.SUBBASE_LOG, mxu.SUB256_LOG, mxu_ntt.DEFAULT_BATCH_TILE,
             mxu_ntt.DIMSEM, limbs.LOOP_MIN_HALVES, limbs.LOOP_SINGLE,

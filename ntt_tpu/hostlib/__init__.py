@@ -125,6 +125,41 @@ def ntt_np(data: np.ndarray, field: Field, inverse: bool = False
     return out
 
 
+def host_planes(want_rows: np.ndarray, n_words: int) -> np.ndarray:
+    """np.uint64[n, 4] hostlib rows -> np.uint32[W, n] device word planes
+    (little-endian limbs, mirrors powers_np)."""
+    n = want_rows.shape[0]
+    words = want_rows.view(np.uint32).reshape(n, 8)
+    return np.ascontiguousarray(words[:, :n_words].T)
+
+
+def full_compare(y_mont, want_rows: np.ndarray, field: Field,
+                 chunk_log: int = 18) -> bool:
+    """Bit-exact compare of EVERY output position vs the host oracle —
+    the reference's all-elements check (GZKP-NTT.cu:1627-1631).
+
+    ``y_mont`` is the on-device Montgomery-form result uint32[W, n];
+    ``want_rows`` the hostlib standard-form uint64[n, 4]. One jitted
+    slice+from_mont program is reused for every chunk (a static chunk
+    size keeps it a single compile); the compare itself is a numpy
+    plane equality — no Python-int round trip, so 2^22 x 256-bit costs
+    ~16 x 8MB fetches, not minutes of int conversion."""
+    import jax
+
+    from .. import limbs
+
+    n = int(y_mont.shape[1])
+    want = host_planes(want_rows, field.n_words)
+    c = min(n, 1 << chunk_log)
+    sl = jax.jit(lambda v, s: limbs.from_mont(
+        jax.lax.dynamic_slice_in_dim(v, s, c, axis=1), field))
+    for lo in range(0, n, c):
+        got = np.asarray(sl(y_mont, lo))
+        if not np.array_equal(got, want[:, lo:lo + c]):
+            return False
+    return True
+
+
 def mul_mod_vec_np(a: np.ndarray, b: np.ndarray, field: Field
                    ) -> np.ndarray:
     """Elementwise a*b mod p on np.uint64[n, 4] limb rows."""

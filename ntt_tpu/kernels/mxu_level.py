@@ -407,6 +407,154 @@ def fused_subntt(x3, field: Field, inverse: bool, mats, T3=None,
     return call(x3, mats, T3)
 
 
+def _kernel_stack(*refs, field, m, zmax_bits, transpose_out, has_tw, fold):
+    """One four-step level whose decomposition twiddle is FOLDED INTO the
+    conv matrix (mxu.twiddle_matrix_stack): the A operand is a [1, Pm, Dm]
+    block of the matrix stack selected by the grid index, so the twiddle
+    costs zero VPU work — it rides the MXU matmul (reference design
+    point: every multiply on the multiply engine,
+    /root/reference/include/cgbn/core/core_mont_wmad.cu:29-191).
+
+    ``has_tw``: an additional batch-resolution twiddle operand [W, m, Bt]
+    multiplied into the output — the RESIDUAL of the periodic fold at
+    sizes whose merged level-1 table would be data-sized (TwStackResid,
+    mxu.matfold_tw_tables): the stack carries w^{k·a·s0}, this operand
+    w^{k·b}, streamed from a COMPACT [W, m, s0] periodic table (the
+    in-kernel FIELD_pow_lookup analog, reference
+    /root/reference/src/GZKP-NTT.cu:298-319)."""
+    x_ref, a_ref = refs[0], refs[1]
+    rest = list(refs[2:-1])
+    o_ref = refs[-1]
+    t_ref = rest.pop(0) if has_tw else None
+    f_ref = rest.pop(0) if fold else None
+    f2_ref = rest.pop(0) if (fold and has_tw) else None
+    x = x_ref[:]                                    # [W, m, Bt]
+    Bt = x.shape[2]
+    D = digits.n_digits(field)
+    E = digits.out_planes(field)
+    a = a_ref[:].reshape(E * m, D * m)              # drop the unit stack dim
+    d = digits.extract_digits(x, field)             # [D, m, Bt] int8
+    Z = jax.lax.dot_general(
+        a, d.reshape(D * m, Bt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    with limbs.fori_limb_loops(enabled=False):
+        y = digits.recompose_reduce(
+            Z.reshape(E, m, Bt), field, zmax_bits,
+            fold_mat=f_ref[:] if f_ref is not None else None)
+        if t_ref is not None and f2_ref is not None:
+            y = digits.mont_mul_fold(y, t_ref[:], field, f2_ref[:])
+        elif t_ref is not None:
+            y = limbs.mont_mul(y, t_ref[:], field)
+    o_ref[:] = jnp.swapaxes(y, 1, 2) if transpose_out else y
+
+
+@functools.lru_cache(maxsize=None)
+def _build_stack(field_name: str, m: int, B: int, Bt: int, rep: int,
+                 NT: int, transpose_out: bool, interpret: bool,
+                 f_shape=None, has_tw: bool = False):
+    field = get_field(field_name)
+    W = field.n_words
+    D = digits.n_digits(field)
+    E = digits.out_planes(field)
+    zmax_bits = (m * D * digits.DIGIT_MASK ** 2).bit_length()
+    # each grid tile must sit inside ONE stack entry's batch span (the
+    # block index (j*Bt)//rep must be exact): rep >= Bt and both powers
+    # of two -> rep % Bt == 0
+    assert rep % Bt == 0 and NT * rep == B, (rep, Bt, NT, B)
+    kern = functools.partial(
+        _kernel_stack, field=field, m=m, zmax_bits=zmax_bits,
+        transpose_out=transpose_out, has_tw=has_tw,
+        fold=f_shape is not None)
+
+    r = rep // Bt
+    in_specs = [
+        pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                     memory_space=pltpu.VMEM),
+        # stack block: full matrix dims (== array dims -> Mosaic-legal),
+        # stack index j*Bt//rep — consecutive grid steps re-select the
+        # same block for rep/Bt steps (Pallas skips the refetch when the
+        # block index is unchanged)
+        pl.BlockSpec((1, E * m, D * m), lambda j: (j // r, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    assert_block_legal((W, m, Bt), (W, m, B), "fused_stack x")
+    assert_block_legal((1, E * m, D * m), (NT, E * m, D * m),
+                       "fused_stack A")
+    if has_tw:
+        in_specs.append(pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                                     memory_space=pltpu.VMEM))
+        assert_block_legal((W, m, Bt), (W, m, B), "fused_stack T3")
+    if f_shape is not None:
+        in_specs.append(pl.BlockSpec(f_shape, lambda j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        if has_tw:
+            f2_shape = digits.fold_mul_matrix(field).shape
+            in_specs.append(pl.BlockSpec(f2_shape, lambda j: (0, 0),
+                                         memory_space=pltpu.VMEM))
+    if transpose_out:
+        out_spec = pl.BlockSpec((W, Bt, m), lambda j: (0, j, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (W, B, m)
+    else:
+        out_spec = pl.BlockSpec((W, m, Bt), lambda j: (0, 0, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = (W, m, B)
+    assert_block_legal(out_spec.block_shape, out_shape, "fused_stack out")
+
+    def call(x3, As, T3=None, F=None, F2=None):
+        args = (x3, As) + ((T3,) if has_tw else ()) \
+            + ((F,) if f_shape is not None else ()) \
+            + ((F2,) if f_shape is not None and has_tw else ())
+        return pl.pallas_call(
+            kern,
+            grid=(B // Bt,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
+            interpret=interpret,
+            compiler_params=compiler_params(
+                vmem_limit_mb=kernel_vmem_limit_mb(field, m)),
+        )(*args)
+
+    return call
+
+
+def fused_level_stack(x3, field: Field, As, rep: int, F=None, T3=None,
+                      transpose_out: bool = False,
+                      batch_tile: int | None = None):
+    """m-point level with the decomposition twiddle folded into a conv
+    MATRIX STACK: x3 uint32[W, m, B]; As int8[NT, Pm, Dm] with
+    NT = B // rep — batch column b uses matrix b // rep. Requires
+    rep >= batch tile (the twiddle must be constant per kernel tile);
+    the caller (fourstep._fused_level) guarantees it by construction
+    (deep levels: rep = the already-processed suffix; level 0: the
+    stride of the i_1 digit).
+
+    ``T3`` (optional, uint32[W, m, B] Montgomery): a batch-resolution
+    residual twiddle multiplied into the output inside the same kernel —
+    the periodic-fold residual w^{k·b} (see _kernel_stack)."""
+    W, m, B = x3.shape
+    NT = As.shape[0]
+    assert NT * rep == B, (As.shape, rep, B)
+    from .mxu_ntt import vmem_batch_tile
+    Bt = batch_tile or vmem_batch_tile(field, m, B, has_tw=True)
+    Bt = min(Bt, rep)
+    assert B % Bt == 0 and rep % Bt == 0, (B, Bt, rep)
+    interpret = pallas_interpret()
+    if digits.fold_active(field):
+        if F is None:
+            from ..transforms.mxu import _fold_matrix
+            F = _fold_matrix(field, m)
+    f_shape = tuple(F.shape) if F is not None else None
+    has_tw = T3 is not None
+    F2 = (jnp.asarray(digits.fold_mul_matrix(field))
+          if (has_tw and f_shape is not None) else None)
+    call = _build_stack(field.name, m, B, Bt, rep, NT, transpose_out,
+                        interpret, f_shape, has_tw)
+    return call(x3, As, T3, F, F2)
+
+
 #: knockout stages of the fused-level probe kernel, in pipeline order
 PROBE_STAGES = ("stream", "digits", "matmul", "reduce", "tw")
 

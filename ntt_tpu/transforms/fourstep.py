@@ -39,6 +39,63 @@ from .. import limbs
 from ..fields import Field
 from .core import ntt_along_axis, power_matrix, split_log
 
+class TwMatStack:
+    """A decomposition-twiddle table folded into a conv-matrix STACK
+    (mxu.twiddle_matrix_stack): ``As`` int8[NT, Pm, Dm] device array,
+    stack entry s covering ``rep`` consecutive batch columns of the
+    level's (i2-major, suffix-minor) batch. Rides the tws iterator in
+    place of the [W, n1, n2] table; consumed by fourstep._fused_level's
+    fold branch -> kernels.mxu_level.fused_level_stack."""
+
+    def __init__(self, As, rep: int):
+        self.As = As
+        self.rep = rep
+
+
+class TwBatch:
+    """A decomposition twiddle MERGED to full batch resolution:
+    ``T4`` uint32[W, n1, n2, R] Montgomery form — entry [k, i2, r] the
+    product of the level's own twiddle with a factor deferred from the
+    level above (the residual of the level-0 matrix fold,
+    mxu.matfold_tw_tables). Consumed by _fused_level's fold branch via
+    the kernels' batch-resolution rep==1 twiddle path — ONE in-kernel
+    mont_mul carries two levels' worth of twiddle."""
+
+    def __init__(self, T4):
+        self.T4 = T4
+
+
+class TwStackResid:
+    """Level-0 matrix fold for sizes where the MERGED level-1 table would
+    be data-sized (n > mxu.TW_MERGED_MAX; 2^26 needs a 2GB table — the
+    HBM ledger that forced the factored fallback in round 4): the stack
+    ``As`` carries the slow factor w^{k·a·s0} on the MXU (free), and the
+    fast RESIDUAL w^{k·b} (b = i2 mod s0) is applied inside the same
+    kernel through its batch-resolution twiddle stage, streamed from the
+    COMPACT periodic table ``Tres`` uint32[W, n1, s0] — O(n/n1) resident
+    bytes instead of the O(n·n1) full table. This is the TPU realization
+    of the reference's in-kernel twiddle generation (FIELD_pow_lookup
+    composes ω^e from log-sized tables instead of streaming a full one,
+    /root/reference/src/GZKP-NTT.cu:298-319). _fused_level slices Tres
+    modulo s0 per chunk; consumed by kernels.mxu_level.fused_level_stack
+    via its T3 operand."""
+
+    def __init__(self, As, rep: int, Tres):
+        self.As = As
+        self.rep = rep
+        self.Tres = Tres
+
+
+jax.tree_util.register_pytree_node(
+    TwMatStack, lambda t: ((t.As,), t.rep),
+    lambda rep, ch: TwMatStack(ch[0], rep))
+jax.tree_util.register_pytree_node(
+    TwBatch, lambda t: ((t.T4,), None), lambda _, ch: TwBatch(ch[0]))
+jax.tree_util.register_pytree_node(
+    TwStackResid, lambda t: ((t.As, t.Tres), t.rep),
+    lambda rep, ch: TwStackResid(ch[0], rep, ch[1]))
+
+
 #: largest sub-transform handled directly by the base stage kernel; larger
 #: sizes recurse (mirrors the reference's MAX_LOG2_RADIX bound on how many
 #: stages fit one shared-memory tile, GZKP-NTT.cu:466). Measured on v5e:
@@ -217,6 +274,82 @@ def _fused_level(x4, T, field: Field, inverse: bool, base_fn, pre_col=None,
             y = base_fn(c, field, inverse)
             y = apply_tw(y, tj)
         return jnp.swapaxes(y, 1, 2)          # [W, n2c, n1, Rc]
+
+    if isinstance(T, (TwMatStack, TwBatch, TwStackResid)):
+        # twiddle MATRIX-FOLD level (mxu.matfold_tw_tables): the
+        # decomposition twiddle is baked into a per-span conv-matrix
+        # stack selected by the kernel grid index (TwMatStack — zero
+        # per-element twiddle work), or it is a batch-resolution MERGED
+        # table carrying this level's twiddle times the level-0 residual
+        # (TwBatch — one mont_mul for two levels), or a stack PLUS the
+        # compact periodic residual (TwStackResid — big-n level 0, the
+        # residual sliced modulo its period s0). Chunk along i2 (axis 2)
+        # so the suffix R stays whole inside each chunk; the aux slice
+        # per chunk follows (>= 1 stack entry even when a chunk sits
+        # inside one entry's span). Chunks here cap at n2, coarser than
+        # the deep path's R cap — bounded at 1/n2 of the data, the same
+        # order as the existing widened-rep chunks.
+        assert tw_base_fn is not None and pre_col is None
+        stack = isinstance(T, (TwMatStack, TwStackResid))
+        resid = isinstance(T, TwStackResid)
+        n_chunks = n_chunks_for(xf.size * xf.dtype.itemsize, n2)
+        bc2 = n2 // n_chunks
+        span = bc2 * R          # batch columns per chunk
+        if stack:
+            rep_s = T.rep
+            assert rep_s % max(R, 1) == 0, (rep_s, R)
+            ne = max(1, span // rep_s)
+            rep_k = min(rep_s, span)
+            aux_full = T.As
+            if resid:
+                assert R == 1, "periodic residual is a top-level-only form"
+                s0 = int(T.Tres.shape[2])
+                assert rep_s == s0, (rep_s, s0)
+                if span >= s0:
+                    # chunks cover whole periods: one static tiling
+                    tres_full = (jnp.tile(T.Tres, (1, 1, span // s0))
+                                 if span > s0 else T.Tres)
+                else:
+                    tres_full = T.Tres
+        else:
+            assert T.T4.shape == (W, n1, n2, R), (T.T4.shape, xf.shape)
+            aux_full = T.T4
+
+        def fold_chunk(c, a_c, t_c=None):
+            # c: [W, n1, bc2, R] -> flat batch (i2 major, suffix minor)
+            if resid:
+                y3 = tw_base_fn(c.reshape(W, n1, span),
+                                TwStackResid(a_c, rep_k, t_c), rep=rep_k)
+            elif stack:
+                y3 = tw_base_fn(c.reshape(W, n1, span),
+                                TwMatStack(a_c, rep_k), rep=rep_k)
+            else:
+                y3 = tw_base_fn(c.reshape(W, n1, span),
+                                a_c.reshape(W, n1, span), rep=1)
+            y = y3.reshape(W, n1, bc2, R)
+            return jnp.swapaxes(y, 1, 2)        # [W, bc2, n1, R]
+
+        if n_chunks <= 1:
+            out = fold_chunk(xf, aux_full,
+                             tres_full if resid else None)
+        else:
+            def sbody(i, acc):
+                c = jax.lax.dynamic_slice_in_dim(xf, i * bc2, bc2, axis=2)
+                t_c = None
+                if resid:
+                    t_c = (tres_full if span >= s0
+                           else jax.lax.dynamic_slice_in_dim(
+                               tres_full, (i * span) % s0, span, axis=2))
+                if stack:
+                    a_c = jax.lax.dynamic_slice_in_dim(
+                        aux_full, (i * span) // rep_s, ne, axis=0)
+                else:
+                    a_c = jax.lax.dynamic_slice_in_dim(
+                        aux_full, i * bc2, bc2, axis=2)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    acc, fold_chunk(c, a_c, t_c), i * bc2, axis=1)
+            out = jax.lax.fori_loop(0, n_chunks, sbody, out)
+        return out.reshape((W, n2, n1) + rest)
 
     cap = R if R > 1 else ((n2 // S2) if factored else n2)
     n_chunks = n_chunks_for(xf.size * xf.dtype.itemsize, cap)

@@ -26,11 +26,12 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .. import digits, limbs
 from ..fields import Field
-from .core import power_matrix
+from .core import host_power_matrix, host_powers_fast, power_matrix
 
 # Radix-32 base case: the conv matrix [(2D-1)*m, D*m] must fit VMEM next to
 # the Z tile (v5e scoped VMEM = 16MB; m=64 needs an 11MB matrix at default
@@ -84,6 +85,201 @@ def coset_base_matrix(field: Field, m: int, inverse: bool,
     entries = [[wp[(i * k) % m] * cp[i] % p * scale % p for i in range(m)]
                for k in range(m)]
     return jnp.asarray(digits.conv_matrix(entries, field))
+
+
+def twiddle_matrix_stack(field: Field, m: int, inverse: bool, tvals,
+                         col_shift: int | None = None) -> np.ndarray:
+    """Host build of a STACK of conv matrices ``diag(t_s) @ DFT_m``
+    (optionally ``@ diag(col_shift^i)`` on the input side): int8
+    [NT, P*m, D*m], NT = len(tvals), ``tvals[s][k]`` the plain (non-
+    Montgomery) twiddle value multiplying output row k of stack entry s.
+
+    This is the round-5 twiddle MATRIX FOLD: at a four-step level whose
+    decomposition twiddle is constant across each kernel batch tile, the
+    twiddle diagonal composes with the level's DFT matrix into ONE conv
+    matrix per twiddle value — the per-element VPU Montgomery product
+    (the knockout's dominant stage, ~45% of kernel time) vanishes into
+    the already-free MXU matmul, matching the reference's
+    every-multiply-on-the-multiply-engine design point
+    (/root/reference/include/cgbn/core/core_mont_wmad.cu:29-191).
+    Exactness: entries are < p with the same R·2^16 prescale, so the
+    zmax window and the Montgomery reduction are unchanged — bit-exact
+    with matmul-then-mont_mul by construction."""
+    p = field.p
+    w = field.inv_root_of_unity(m) if inverse else field.root_of_unity(m)
+    scale = digits.matrix_prescale(field)
+    wp = [pow(w, j, p) for j in range(m)]
+    if col_shift is not None:
+        cp = [pow(col_shift % p, i, p) for i in range(m)]
+        base = [[wp[(i * k) % m] * cp[i] % p * scale % p
+                 for i in range(m)] for k in range(m)]
+    else:
+        base = [[wp[(i * k) % m] * scale % p for i in range(m)]
+                for k in range(m)]
+    mats = []
+    for ts in tvals:
+        entries = [[base[k][i] * ts[k] % p for i in range(m)]
+                   for k in range(m)]
+        mats.append(digits.conv_matrix(entries, field))
+    return np.stack(mats, axis=0)
+
+
+#: twiddle MATRIX-FOLD (round 5): replace per-element VPU decomposition-
+#: twiddle products (the knockout's dominant stage, ~45% of kernel time,
+#: TPU_CAMPAIGN_r4) with conv-matrix stacks + ONE merged batch-resolution
+#: table — per transform, levels-1 twiddle mont_muls become 1.
+TW_MATFOLD = __import__("os").environ.get("NTT_TW_MATFOLD", "1") == "1"
+#: largest per-level stack (matrices) the fold may build: bounds both the
+#: host build time (~NT * m^2 * D bigint shift-reduces) and the stack's
+#: HBM stream (NT * ~1.4MB for 256-bit fields at m=32)
+TW_STACK_MAX_NT = int(__import__("os").environ.get(
+    "NTT_TW_STACK_MAX_NT", "128"))
+#: largest n whose MERGED level-1 table (n elements, data-sized) is
+#: affordable; above it the level-0 fold switches to the PERIODIC
+#: RESIDUAL form (TwStackResid: stack + compact [W, BASE, s0] table —
+#: the in-kernel twiddle-generation analog of the reference's
+#: FIELD_pow_lookup, GZKP-NTT.cu:298-319) instead of being skipped
+TW_MERGED_MAX = int(__import__("os").environ.get(
+    "NTT_TW_MERGED_MAX", str(1 << 24)))
+#: periodic-residual mode: "auto" = only above TW_MERGED_MAX (the merged
+#: table is chip-proven and saves a product below it); "1" = force at
+#: every eligible size (A/B probe); "0" = off
+TW_RESID = __import__("os").environ.get("NTT_TW_RESID", "auto")
+
+
+def matfold_tw_tables(field: Field, n: int, inverse: bool,
+                      coset_shift: int | None = None):
+    """Twiddle tables for the peel-BASE four-step with the decomposition
+    twiddles FOLDED into the MXU where tile geometry allows — the round-5
+    answer to the VPU twiddle product dominating kernel time (reference
+    design point: every multiply rides the multiply engine,
+    /root/reference/include/cgbn/core/core_mont_wmad.cu:29-191).
+
+    Per level l (transform length m_l = n/BASE^l, suffix R_l = BASE^l,
+    twiddle T_l[k, i2] = w_l^{k*i2}):
+
+    - l == 0 (R=1, batch-resolution twiddle): pair-decompose
+      i2 = a*s0 + b (s0 = n2_0/BASE). The w^{k*a*s0} factor is constant
+      across each s0-column span -> a BASE-entry conv-matrix stack
+      indexed by a (fourstep.TwMatStack); the w^{k*b} residual commutes
+      with level 1's column transforms and is DEFERRED into level 1.
+      Above TW_MERGED_MAX (or with NTT_TW_RESID=1) the residual is NOT
+      deferred: it rides the level-0 kernel's own twiddle stage from a
+      COMPACT periodic [W, BASE, s0] table (fourstep.TwStackResid) —
+      same product count as the plain streamed table but O(n/BASE)
+      table bytes instead of O(n·BASE): the 2^26 HBM-ledger unlock.
+    - l == 1 (when level 0 deferred): the residual merges with level 1's
+      own twiddle into ONE batch-resolution table
+      M[k1, b, k0] = w_n^{(BASE*k1 + k0) * b} (fourstep.TwBatch) — a
+      single mont_mul carries both levels.
+    - l >= 2: R_l >= BASE^2 spans whole batch tiles, so the twiddle
+      folds entirely into an n2_l-entry matrix stack when n2_l <=
+      TW_STACK_MAX_NT (deeper early levels keep the streamed table).
+
+    ``coset_shift`` (forward only) folds the coset premultiply c^{i}
+    in exactly: c^{i1*n2_0} as the level-0 stack's input-side diagonal,
+    c^{a*s0} as a per-stack-entry scalar, c^{b} into the merged level-1
+    table — the coset costs ZERO extra passes or products.
+
+    Returns the tws list (mixed TwMatStack / TwBatch / plain arrays), or
+    None when nothing is foldable (caller falls back to _tw_tables)."""
+    from .fourstep import (TwBatch, TwMatStack, TwStackResid,
+                           twiddle_requests)
+    requests = twiddle_requests(n, BASE, field)
+    if not requests or any(n1 != BASE for (_, n1, _) in requests):
+        return None                     # non-peel split (resident mode)
+    p = field.p
+    shift = None if coset_shift is None else coset_shift % p
+
+    def stack_bytes(nt: int) -> int:
+        D = digits.n_digits(field)
+        E = digits.out_planes(field)
+        return nt * E * BASE * D * BASE
+
+    # eligibility per level, then bail out early if nothing folds
+    s0 = requests[0][2] // BASE
+    geom0 = (len(requests) >= 2 and s0 >= 128 and requests[0][0] == n)
+    resid0 = geom0 and (TW_RESID == "1" or
+                        (TW_RESID == "auto" and n > TW_MERGED_MAX))
+    fold0 = geom0 and not resid0 and n <= TW_MERGED_MAX
+    deep_fold = [False] * len(requests)
+    for l in range(2, len(requests)):
+        m_l, _, n2_l = requests[l]
+        R_l = n // m_l
+        if (n2_l <= TW_STACK_MAX_NT and R_l % 128 == 0
+                and stack_bytes(n2_l) <= 4 * n * field.n_words * 4):
+            deep_fold[l] = True
+    if not fold0 and not resid0 and not any(deep_fold):
+        return None
+
+    out = []
+    for l, (m_l, n1, n2_l) in enumerate(requests):
+        w = (field.inv_root_of_unity(m_l) if inverse
+             else field.root_of_unity(m_l))
+        if l == 0 and (fold0 or resid0):
+            # stack over the HIGH digit a of i2 (= level 1's column
+            # index): entry a covers s0 consecutive batch columns
+            lam = [1] * BASE if shift is None else [
+                pow(shift, a * s0, p) for a in range(BASE)]
+            tvals = [[pow(w, (k * a * s0) % m_l, p) * lam[a] % p
+                      for k in range(BASE)] for a in range(BASE)]
+            # the c^{i1*n2_0} coset factor: input-side diagonal
+            col = None if shift is None else pow(shift, m_l // BASE, p)
+            As = jnp.asarray(twiddle_matrix_stack(
+                field, BASE, inverse, tvals, col_shift=col))
+            if fold0:
+                out.append(TwMatStack(As, s0))
+            else:
+                # PERIODIC RESIDUAL (big-n form): w^{k·b} (· c^b), the
+                # fast factor of i2 = a·s0 + b, as a compact [W, BASE,
+                # s0] table the level-0 kernel streams modulo s0 — no
+                # deferral into level 1, whose own table stays as built
+                # below (the merged table would be data-sized here)
+                if BASE * s0 <= 1 << 18:
+                    Tr = jnp.asarray(host_power_matrix(field, w, BASE, s0))
+                else:
+                    from .core import power_matrix_chunked
+                    Tr = jax.jit(lambda: power_matrix_chunked(
+                        field, w, BASE, s0))()
+                if shift is not None:
+                    cb = jnp.asarray(host_powers_fast(field, shift, s0))
+                    Tr = jax.jit(lambda a, b: limbs.mont_mul(
+                        a, b[:, None, :], field))(Tr, cb)
+                out.append(TwStackResid(As, s0, Tr))
+        elif l == 1 and fold0:
+            # merged table M[k1, b, k0] = w_n^{(BASE*k1+k0)*b} (* c^b):
+            # rows j = BASE*k1 + k0 of the full-n power matrix
+            wn = (field.inv_root_of_unity(n) if inverse
+                  else field.root_of_unity(n))
+            BB = BASE * BASE
+            if BB * n2_l <= 1 << 18:
+                M = jnp.asarray(host_power_matrix(field, wn, BB, n2_l))
+            else:
+                from .core import power_matrix_chunked
+                M = jax.jit(lambda: power_matrix_chunked(
+                    field, wn, BB, n2_l))()
+            def finish(M, cb=None):
+                if cb is not None:
+                    M = limbs.mont_mul(M, cb[:, None, :], field)
+                M4 = M.reshape(field.n_words, BASE, BASE, n2_l)
+                return M4.transpose(0, 1, 3, 2)    # [W, k1, b, k0]
+            cb = None if shift is None else jnp.asarray(
+                host_powers_fast(field, shift, n2_l))
+            out.append(TwBatch(jax.jit(finish)(M, cb)))
+        elif deep_fold[l]:
+            tvals = [[pow(w, (k * s) % m_l, p) for k in range(BASE)]
+                     for s in range(n2_l)]
+            out.append(TwMatStack(jnp.asarray(twiddle_matrix_stack(
+                field, BASE, inverse, tvals)), n // m_l))
+        else:
+            if n1 * n2_l <= 1 << 18:
+                out.append(jnp.asarray(host_power_matrix(
+                    field, w, n1, n2_l)))
+            else:
+                from .core import power_matrix_chunked
+                out.append(jax.jit(lambda w=w, n2=n2_l: power_matrix_chunked(
+                    field, w, n1, n2))())
+    return out
 
 
 def _fold_matrix(field: Field, m: int):
@@ -299,6 +495,12 @@ def ntt_mxu_sub(x, field: Field, inverse: bool = False, tws=None,
             return y.reshape(c.shape)
 
         def tw_base(c3, t3, rep=1):
+            from .fourstep import TwMatStack, TwStackResid
+            if isinstance(t3, (TwMatStack, TwStackResid)):
+                from ..kernels.mxu_level import fused_level_stack
+                tres = t3.Tres if isinstance(t3, TwStackResid) else None
+                return fused_level_stack(c3, field, t3.As, rep=t3.rep,
+                                         F=md.get(-c3.shape[1]), T3=tres)
             return fused_subntt(c3, field, inverse, md, t3,
                                 transpose_out=False, rep=rep)
         return base, tw_base
@@ -337,7 +539,17 @@ def ntt_mxu_chunked(x, field: Field, inverse: bool = False, tws=None,
                 # transpose — the XLA relayout after it measured free).
                 # rep>1 (deep levels): sublane-layout i2-resolution
                 # twiddle streamed at 1/rep the data size
-                # (kernels/mxu_level.py).
+                # (kernels/mxu_level.py). A TwMatStack/TwStackResid
+                # routes to the stack kernel: the twiddle rides the
+                # matmul itself (+ the compact periodic residual).
+                from .fourstep import TwMatStack, TwStackResid
+                if isinstance(t3, (TwMatStack, TwStackResid)):
+                    from ..kernels.mxu_level import fused_level_stack
+                    tres = (t3.Tres if isinstance(t3, TwStackResid)
+                            else None)
+                    return fused_level_stack(c3, field, t3.As, rep=t3.rep,
+                                             F=md.get(-c3.shape[1]),
+                                             T3=tres)
                 from ..kernels.mxu_level import fused_subntt
                 mm = c3.shape[1]
                 sub = {k: md[k] for k in (mm, -mm, -1) if k in md}

@@ -420,3 +420,153 @@ def test_mxu_coset_lde():
     x = oracle.ramp(n, f)
     y = nt.to_ints(nt.coset_ntt(nt.from_ints(x, f), f, algorithm="mxu"), f)
     assert y == oracle.coset_ntt_golden(x, f, f.generator)
+
+
+def test_fused_level_stack_kernel():
+    """Twiddle MATRIX-FOLD stack kernel (round 5): fused_level_stack over
+    a twiddle_matrix_stack must equal base-transform-then-explicit-
+    multiply across stack/tile regimes (rep == Bt, rep > Bt, 1-entry
+    chunks) for a narrow (2D-1-plane) and a 256-bit (folded) field,
+    including the coset input-side diagonal."""
+    import jax.numpy as jnp
+    from ntt_tpu.kernels.mxu_level import fused_level_stack
+    from ntt_tpu.transforms.mxu import (_base_matrix, _base_ntt,
+                                        twiddle_matrix_stack)
+    rng = random.Random(12)
+    for f, NT, rep, col in ((nt.SMALL, 4, 128, None),
+                            (nt.SMALL, 2, 256, 7),
+                            (nt.BLS12_381_FR, 2, 128, None)):
+        m, B = 32, NT * rep
+        xv = [rng.randrange(f.p) for _ in range(m * B)]
+        tvals = [[rng.randrange(1, f.p) for _ in range(m)]
+                 for _ in range(NT)]
+        X = limbs.to_mont(nt.from_ints(xv, f).reshape(f.n_words, m, B), f)
+        As = jnp.asarray(twiddle_matrix_stack(f, m, False, tvals,
+                                              col_shift=col))
+        got = nt.to_ints(fused_level_stack(X, f, As, rep=rep), f)
+        Xs = X
+        if col is not None:
+            cs = limbs.to_mont(nt.from_ints(
+                [pow(col, i, f.p) for i in range(m)], f), f)
+            Xs = limbs.mont_mul(X, cs[:, :, None], f)
+        base = _base_ntt(Xs, f, False, {m: _base_matrix(f, m, False)})
+        tv_flat = [tvals[c // rep][k] for k in range(m) for c in range(B)]
+        T = limbs.to_mont(
+            nt.from_ints(tv_flat, f).reshape(f.n_words, m, B), f)
+        want = nt.to_ints(limbs.mont_mul(base, T, f), f)
+        assert got == want, (f.name, NT, rep, col)
+
+
+def test_fused_level_stack_kernel_resid():
+    """The stack kernel's T3 residual stage (round-5 TwStackResid): stack
+    matmul + in-kernel batch-resolution mont_mul must equal base-then-
+    explicit-two-products for a narrow and a 256-bit (folded) field."""
+    import jax.numpy as jnp
+    from ntt_tpu.kernels.mxu_level import fused_level_stack
+    from ntt_tpu.transforms.mxu import (_base_matrix, _base_ntt,
+                                        twiddle_matrix_stack)
+    rng = random.Random(21)
+    for f, NT, rep in ((nt.SMALL, 4, 128), (nt.BLS12_381_FR, 2, 128)):
+        m, B = 32, NT * rep
+        xv = [rng.randrange(f.p) for _ in range(m * B)]
+        tvals = [[rng.randrange(1, f.p) for _ in range(m)]
+                 for _ in range(NT)]
+        rvals = [rng.randrange(1, f.p) for _ in range(m * B)]
+        X = limbs.to_mont(nt.from_ints(xv, f).reshape(f.n_words, m, B), f)
+        As = jnp.asarray(twiddle_matrix_stack(f, m, False, tvals))
+        T3 = limbs.to_mont(
+            nt.from_ints(rvals, f).reshape(f.n_words, m, B), f)
+        got = nt.to_ints(fused_level_stack(X, f, As, rep=rep, T3=T3), f)
+        base = _base_ntt(X, f, False, {m: _base_matrix(f, m, False)})
+        tv_flat = [tvals[c // rep][k] for k in range(m) for c in range(B)]
+        T = limbs.to_mont(
+            nt.from_ints(tv_flat, f).reshape(f.n_words, m, B), f)
+        want = limbs.mont_mul(limbs.mont_mul(base, T, f), T3, f)
+        assert got == nt.to_ints(want, f), (f.name, NT, rep)
+
+
+def test_matfold_resid_2e17(monkeypatch):
+    """End-to-end periodic-residual fold (TwStackResid, the big-n level-0
+    form, forced down to 2^17 via NTT_TW_RESID=1): forward, inverse and
+    fully-folded coset bit-equal to the streamed-table path — in BOTH
+    chunk regimes (single-chunk tiled residual, and the 2^26-style
+    chunked run where the residual is sliced modulo s0 with bc2 < s0,
+    forced via a shrunken chunk budget)."""
+    from ntt_tpu.api import ramp_mont
+    from ntt_tpu.transforms import core as _c
+    from ntt_tpu.transforms import mxu as _m
+    from ntt_tpu.transforms.fourstep import TwStackResid
+    f, n = nt.BLS12_381_FR, 1 << 17
+    tws = _m.matfold_tw_tables(f, n, False)
+    assert not isinstance(tws[0], TwStackResid)  # auto keeps merged here
+    monkeypatch.setattr(_m, "TW_RESID", "1")
+    tws = _m.matfold_tw_tables(f, n, False)
+    assert isinstance(tws[0], TwStackResid)
+    x = ramp_mont(f, n)
+    outs = {}
+    for mode in ("resid", "resid_chunked", "off"):
+        # build runners directly: the api compiled-cache keys on
+        # config_key, which does not (and should not) include the chunk
+        # budget monkeypatch below
+        import jax
+
+        from ntt_tpu.api import get_runner
+        if mode == "off":
+            monkeypatch.setattr(_m, "TW_MATFOLD", False)
+        if mode == "resid_chunked":
+            # n_chunks=128 at 2^17 -> bc2=32 < s0=128: the modulo slice
+            monkeypatch.setattr(_c, "CHUNK_SINGLE", 1 << 16)
+            monkeypatch.setattr(_c, "CHUNK_BYTES", 1 << 15)
+        else:
+            monkeypatch.setattr(_c, "CHUNK_SINGLE", 8600000)
+            monkeypatch.setattr(_c, "CHUNK_BYTES", 4300000)
+        res = []
+        for inv, cs in ((False, None), (True, None), (False, f.generator)):
+            run, aux = get_runner(f, n, inv, "mxu_chunked", True, cs)
+            res.append(np.asarray(jax.jit(run)(x, aux)))
+        outs[mode] = res
+    for mode in ("resid", "resid_chunked"):
+        for i, name in enumerate(("forward", "inverse", "coset")):
+            assert (outs[mode][i] == outs["off"][i]).all(), (mode, name)
+
+
+def test_matfold_deep_stack_2e16(monkeypatch):
+    """End-to-end twiddle matrix fold, deep-stack-only regime (2^16 BLS:
+    levels 0/1 keep streamed tables, level 2 folds into a 2-entry stack
+    at rep=1024): forward AND inverse bit-equal to the streamed path."""
+    from ntt_tpu.api import ramp_mont
+    from ntt_tpu.transforms import mxu as _m
+    f, n = nt.BLS12_381_FR, 1 << 16
+    x = ramp_mont(f, n)
+    outs = {}
+    for fold in (True, False):
+        monkeypatch.setattr(_m, "TW_MATFOLD", fold)
+        outs[fold] = (
+            np.asarray(nt.ntt(x, f, algorithm="mxu_chunked", mont_io=True)),
+            np.asarray(nt.intt(x, f, algorithm="mxu_chunked",
+                               mont_io=True)))
+    assert (outs[True][0] == outs[False][0]).all(), "forward"
+    assert (outs[True][1] == outs[False][1]).all(), "inverse"
+
+
+def test_matfold_full_config_bls_2e17(monkeypatch):
+    """THE round-5 production configuration (smallest full-fold size):
+    level-0 conv-matrix stack (rep=s0=128) + merged batch-resolution
+    level-1 table (TwBatch) + deep stack — forward and fully-folded
+    coset bit-equal to the streamed-table path."""
+    from ntt_tpu.api import ramp_mont
+    from ntt_tpu.transforms import mxu as _m
+    from ntt_tpu.transforms.fourstep import TwBatch, TwMatStack
+    f, n = nt.BLS12_381_FR, 1 << 17
+    tws = _m.matfold_tw_tables(f, n, False)
+    assert isinstance(tws[0], TwMatStack) and isinstance(tws[1], TwBatch)
+    x = ramp_mont(f, n)
+    outs = {}
+    for fold in (True, False):
+        monkeypatch.setattr(_m, "TW_MATFOLD", fold)
+        outs[fold] = (
+            np.asarray(nt.ntt(x, f, algorithm="mxu_chunked", mont_io=True)),
+            np.asarray(nt.coset_ntt(x, f, algorithm="mxu_chunked",
+                                    mont_io=True)))
+    assert (outs[True][0] == outs[False][0]).all(), "forward"
+    assert (outs[True][1] == outs[False][1]).all(), "coset"

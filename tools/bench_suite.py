@@ -2,8 +2,10 @@
 
 Configs (BASELINE.json): 2^12 BN254-Fr fwd+inv bit-exact; 2^18 BLS12-381-Fr
 Montgomery-form I/O roundtrip; 2^22 four-step; 2^24 coset NTT and 4x LDE
-(2^22 -> 2^24). The multi-host 2^26 config needs N>=2 hosts and is covered
-mechanically by tests/test_parallel.py on the virtual mesh (the driver's
+(2^22 -> 2^24); plus goldilocks 2^22 (the 64-bit STARK field on the same
+proof ladder) and a batched many-small-polynomials prover shape. The
+multi-host 2^26 config needs N>=2 hosts and is covered mechanically by
+tests/test_parallel.py on the virtual mesh (the driver's
 ``dryrun_multichip`` path).
 
 Each line: {"metric", "value", "unit", "ms", "algo", "bitexact"}.
@@ -180,7 +182,23 @@ def main():
             lambda idx: hostlib._arr_to_ints(want_all[idx]))
     report(f"bls12-381_coset_2^{log_n}", n, log_n, best, algo, ok)
 
-    # ---- config 5: batched prover workload (many small polynomials) ------
+    # ---- config 5: goldilocks 2^22 (the 64-bit STARK field gets the same
+    # proof ladder as the 256-bit fields — VERDICT r4 missing #4) ----------
+    fg = nt.get_field("goldilocks")
+    log_n = 14 if quick else 22
+    n = 1 << log_n
+    x = ramp_mont(fg, n)
+    rf, af = get_runner(fg, n, False, algo, True, None)
+    best = _time(rf, af, x, reps, 4)
+    ok = True
+    if hostlib.available():
+        want_all = hostlib.ntt_np(hostlib.ramp_np(n), fg)
+        ok = check_subsample(
+            fg, n, jax.jit(rf)(x, af),
+            lambda idx: hostlib._arr_to_ints(want_all[idx]))
+    report(f"goldilocks_2^{log_n}", n, log_n, best, algo, ok)
+
+    # ---- config 6: batched prover workload (many small polynomials) ------
     log_n, B = (10, 16) if quick else (12, 256)
     n = 1 << log_n
     xb = jnp.broadcast_to(ramp_mont(f, n)[:, :, None],

@@ -130,6 +130,26 @@ def knockout():
         print(f"{stage:12s} {per*1e3:9.3f} ms   (+{(per-prev)*1e3:8.3f})")
         prev = per
 
+    # the round-5 twiddle MATRIX-FOLD level at the same geometry: the
+    # level-0 production stack (m entries, rep = B/m). Its delta vs the
+    # 'reduce' row is the marginal cost of streaming the stack; vs the
+    # 'tw' row, the per-level saving of the fold.
+    if B % m == 0 and (B // m) % 128 == 0:
+        from ntt_tpu.kernels.mxu_level import fused_level_stack
+        s0 = B // m
+        w = field.root_of_unity(n)
+        tvals = [[pow(w, k * a * s0, field.p) for k in range(m)]
+                 for a in range(m)]
+        As = jnp.asarray(mxu.twiddle_matrix_stack(field, m, False, tvals))
+        per = _measure(lambda c: jax.jit(
+            lambda v, a, t: jax.lax.fori_loop(
+                0, c, lambda i, z: (fused_level_stack(
+                    z[0], field, z[1], rep=s0), z[1], z[2]),
+                (v, a, t))[0]),
+            (x, As, T), probe_chain=16)
+        print(f"{'stack':12s} {per*1e3:9.3f} ms   "
+              f"(vs tw {prev*1e3:.3f})")
+
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "knockout":

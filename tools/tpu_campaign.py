@@ -1,4 +1,4 @@
-"""One-shot round-4 TPU campaign: every chip-gated validation and
+"""One-shot round-5 TPU campaign: every chip-gated validation and
 measurement, in priority order, unattended and resumable.
 
 The round-2 lesson (VERDICT weak #1/#2) is that TPU-side proof must not
@@ -7,6 +7,12 @@ is up we run the whole backlog in one supervised pass. Priority order
 means that if the tunnel dies mid-campaign the most important artifacts
 (bench.py green, deep healthcheck) already exist.
 
+Round-5 queue: the twiddle MATRIX-FOLD validation + measurement ladder
+(VERDICT r4 items 1/2/3/4/6/7/8) — knockout with the stack row, the
+raised --deep gate (goldilocks + full-position 2^22), merged-vs-residual
+A/Bs, the 2^26 run WITHOUT the factored fallback, and the suite with the
+coset and goldilocks bars.
+
 Usage:
     python -u tools/tpu_campaign.py            # run / resume
     python -u tools/tpu_campaign.py --list     # show stages + status
@@ -14,7 +20,7 @@ Usage:
     python -u tools/tpu_campaign.py --redo shootout_2e18
 
 Each stage is a subprocess (fresh import-time env knobs; a crash cannot
-take down the campaign). Results land in TPU_CAMPAIGN_r4/: state.json
+take down the campaign). Results land in TPU_CAMPAIGN_r5/: state.json
 plus one .log per stage. A stage that already recorded ok=True is
 skipped on resume unless --redo names it.
 """
@@ -28,7 +34,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "TPU_CAMPAIGN_r4")
+OUT = os.path.join(REPO, "TPU_CAMPAIGN_r5")
 STATE = os.path.join(OUT, "state.json")
 
 PY = sys.executable or "python3"
@@ -57,50 +63,52 @@ def _stages():
          {}, 300),
         # 1. the /verify drive leg on the real chip
         ("verify_small", [PY, "-u", "-c", drive], {}, 1200),
-        # 2. THE headline: driver-protocol bench must exit 0
+        # 2. THE headline: driver-protocol bench (matfold + dual roofs).
+        #    Done-bar from VERDICT r4 item 1: <= 0.7 ms at 2^18 BLS.
         ("bench", [PY, "-u", "bench.py"], {}, 3600),
-        # 3. the raised gate: production algos at depth sizes PLUS the
-        #    round-3 crash regime (BLS 2^20 + 2^22 subsampled) —
-        #    VERDICT r3 item 6
+        # 3. the raised gate (VERDICT r4 items 7+8): production algos at
+        #    depth sizes, goldilocks row, 2^20 subsampled, and the 2^22
+        #    FULL-position compare
         ("hc_deep", [PY, "-u", hc, "--deep"], {}, 10800),
-        # 4. auto-dispatch shootout under the restored unrolled-CIOS
-        #    default, INCLUDING fourstep (VERDICT r3 item 4):
-        #    2^14 / 2^18 / 2^22 BLS
-        ("shootout_2e14", [PY, "-u", shoot, "14", "bls12-381-fr",
-                           "fourstep,mxu_chunked,mxu_sub"], {}, 3600),
-        ("shootout_2e18", [PY, "-u", shoot, "18", "bls12-381-fr",
-                           "fourstep,mxu_chunked,mxu_sub"], {}, 3600),
-        ("shootout_2e22", [PY, "-u", shoot, "22", "bls12-381-fr",
-                           "fourstep,mxu_chunked"], {}, 7200),
-        # 5. knockout attribution re-run with the unrolled default
-        #    (VERDICT r3 item 3 done-bar: fresh stage attribution)
+        # 4. knockout with the round-5 stack row — VERDICT r4 item 1
+        #    done-bar: tw <= 15% of kernel time
         ("knockout", [PY, "-u", micro, "knockout", "18", "bls12-381-fr"],
          {}, 3600),
-        # 6. the recorded all-configs artifact (VERDICT r3 item 7):
-        #    BENCH_SUITE_r4 comes from this log
+        # 5. periodic-residual numerics on chip at the smallest
+        #    modulo-slicing size (2^23) BEFORE spending 2^26 time
+        ("resid_2e23", [PY, "-u", sweep, "bls12-381-fr", "mxu_chunked",
+                        "23"], {"NTT_TW_RESID": "1"}, 7200),
+        # 6. THE 2^26 unlock (VERDICT r4 items 4+6): matfold periodic
+        #    residual, NO factored fallback, plain auto dispatch.
+        #    Done-bar: <= 1.4 s, bit-exact (subsampled).
+        ("bls26_resid", [PY, "-u", sweep, "bls12-381-fr", "auto", "26"],
+         {}, 14400),
+        # 7. merged-vs-residual A/B at 2^22/2^24 (pick the default from
+        #    data; merged is chip-proven, residual streams less table)
+        ("ab_resid_2e22", [PY, "-u", shoot, "22", "bls12-381-fr",
+                           "mxu_chunked"], {"NTT_TW_RESID": "1"}, 7200),
+        ("ab_merged_2e22", [PY, "-u", shoot, "22", "bls12-381-fr",
+                            "mxu_chunked"], {}, 7200),
+        # 8. the recorded all-configs artifact: BENCH_SUITE_r5 (now with
+        #    the goldilocks config; coset 2^24 bar <= 225 ms — VERDICT
+        #    r4 item 3, matfold folds the coset entirely)
         ("suite", [PY, "-u", os.path.join("tools", "bench_suite.py")],
          {}, 14400),
-        # 7. the reference-shaped sweep through 2^24 (VERDICT r3 item 1
-        #    done-bar; big-num.cu:370-378 sweeps 256-bit to 2^24)
+        # 9. the reference-shaped sweep through 2^24 (2^24 done-bar from
+        #    VERDICT r4 item 6: <= 120 ms)
         ("sweep_full", [PY, "-u", sweep, "bls12-381-fr", "auto",
                         "12,14,16,18,20,22,24"], {}, 14400),
-        # 8. 2^26 BLS single chip, factored top table (VERDICT r3 item 5;
-        #    the 2GB plain table is the HBM-budget breaker)
-        ("bls26_factored", [PY, "-u", sweep, "bls12-381-fr", "auto", "26"],
-         {"NTT_FACTOR_TW_MIN": str(1 << 25)}, 14400),
-        # 9. narrow-field regression sweep (the kernel-default changes
-        #    must not move small-proth)
+        # 10. goldilocks proof ladder sweep point (VERDICT r4 item 8)
+        ("sweep_goldi", [PY, "-u", sweep, "goldilocks", "auto",
+                         "18,22"], {}, 7200),
+        # 11. narrow-field regression sweep (kernel changes must not
+        #     move small-proth)
         ("sweep_small", [PY, "-u", sweep, "small-proth", "auto",
                          "20,22,24,26"], {}, 10800),
-        # 10. SUB256 multi-level peel A/B at the new default (fewer
-        #     levels = fewer reduce+twiddle passes; VERDICT r3 item 3a)
-        ("sub256_b", [PY, "-u", shoot, "18", "bls12-381-fr", "mxu_sub"],
-         {"NTT_MXU_SUB256_LOG": "7"}, 3600),
-        # 11. highest-crash-risk stage last: plain-table 2^26 (donated
-        #     input). The factored stage already secured the 2^26
-        #     artifact; a worker crash here costs only this stage.
-        ("bls26", [PY, "-u", sweep, "bls12-381-fr", "auto", "26"],
-         {}, 14400),
+        # 12. the round-4 comparison anchor: 2^26 with the factored
+        #     fallback (what the resid replaces); lowest priority
+        ("bls26_factored", [PY, "-u", sweep, "bls12-381-fr", "auto", "26"],
+         {"NTT_FACTOR_TW_MIN": str(1 << 25)}, 14400),
     ]
 
 

@@ -39,17 +39,35 @@ os.environ["NTT_FORCE_MOSAIC"] = "1"
 #: twiddle levels and both field regimes
 SUITE = [
     ("bls12-381-fr", 18, "auto", False, None),     # bench.py headline
+                                                   # (r5: matfold stacks)
+    ("bls12-381-fr", 17, "auto", False, "gen"),    # matfold coset (stack
+                                                   # diag + merged table)
+    ("bls12-381-fr", 17, "auto", True, None),      # matfold inverse
+    ("bls12-381-fr", 20, "auto", False, None),     # matfold chunked level
+                                                   # (multi-entry slices)
     ("bls12-381-fr", 13, "auto", False, None),     # deep tier, forward
     ("bls12-381-fr", 13, "auto", True, None),      # deep tier, inverse
     ("bls12-381-fr", 13, "auto", False, "gen"),    # fused coset
     ("small-proth", 22, "mxu_sub", False, None),   # narrow driver config
     ("small-proth", 19, "mxu_sub", True, None),    # narrow deep inverse
+    ("goldilocks", 19, "auto", False, None),       # goldilocks proof
+    ("goldilocks", 22, "auto", False, None),       # ladder (VERDICT r4
+                                                   # missing #4)
 ]
 
 #: knob-gated campaign configs (env read at import time -> each runs as
 #: its own subprocess): the SUB256 peels, the unrolled-CIOS A/B form,
 #: and the dimension-semantics A/B
 KNOB_SUITE = [
+    # periodic-residual fold (TwStackResid, the 2^26 level-0 form):
+    # forced small for the T3 stack-kernel compile, plus the production
+    # chunked regime (bc2 < s0 modulo slicing) at 2^22
+    ({"NTT_TW_RESID": "1"}, ["bls12-381-fr", "17", "mxu_chunked"]),
+    ({"NTT_TW_RESID": "1"}, ["bls12-381-fr", "17", "mxu_chunked",
+                             "--coset"]),
+    # 2^23 is the smallest size whose chunking gives bc2 < s0 (the
+    # modulo-slice residual stream, the 2^26 production regime)
+    ({"NTT_TW_RESID": "1"}, ["bls12-381-fr", "23", "mxu_chunked"]),
     ({"NTT_MXU_FOLD": "1"}, ["bls12-381-fr", "18", "mxu_chunked"]),
     ({"NTT_MXU_FOLD": "1"}, ["bls12-381-fr", "13", "auto", "--inverse"]),
     ({"NTT_MXU_FOLD": "1"}, ["small-proth", "19", "mxu_sub"]),
