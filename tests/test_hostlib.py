@@ -65,16 +65,14 @@ def test_device_twiddles_match_native():
 @pytest.mark.parametrize("field", [fields.BLS12_381_FR, fields.SMALL],
                          ids=lambda f: f.name)
 def test_sweep_full_compare(field):
-    """tools/sweep.py SWEEP_VERIFY=full path: every-position compare of a
-    device run vs the hostlib oracle (the reference checks all elements,
-    GZKP-NTT.cu:1627-1631), streamed in static-size chunks."""
-    import os
-    import sys
-
+    """hostlib.full_compare (the SWEEP_VERIFY=full / healthcheck --deep
+    path): every-position compare of a device run vs the hostlib oracle
+    (the reference checks all elements, GZKP-NTT.cu:1627-1631), streamed
+    in static-size chunks. Round 5 moved it from tools/sweep.py into the
+    package so the --deep gate shares it."""
     import numpy as np
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    from tools.sweep import full_compare, host_planes
+    from ntt_tpu.hostlib import full_compare, host_planes
 
     import jax
     from ntt_tpu.api import get_runner, ramp_mont

@@ -32,13 +32,26 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 
 import numpy as np
 
 import jax
+
+# the container's sitecustomize force-registers the remote axon TPU
+# backend and IGNORES the JAX_PLATFORMS env var — config.update is the
+# only reliable way to pin the local CPU backend (see tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.environ.get(
+    "NTT_TEST_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_cc.zstd = None
+_cc.zstandard = None
 
 
 def _sync1(y):
@@ -84,7 +97,10 @@ def main():
         x = oracle.ramp(n, f)
         X = shard_for_ntt(limbs.to_mont(limbs.from_ints(x, f), f), f, mesh)
         fwd = make_dist_ntt(f, n, mesh, mont_io=True, **kw)
-        t = _time_steps(fwd, X)
+        # the dist transform's local shard comes back transposed; reshape
+        # to the input layout so the timing chain's carry type matches
+        # (a device-local relayout, charged to the step — conservative)
+        t = _time_steps(lambda v: fwd(v).reshape(v.shape), X)
         if t1 is None:
             t1 = t
         y = unshard(fwd(X))

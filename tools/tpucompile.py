@@ -84,13 +84,21 @@ KNOB_SUITE = [
 
 def _cache():
     """Share the persistent compile cache with the test suite/bench:
-    repeat --suite/--knobs runs skip finished compiles."""
+    repeat --suite/--knobs runs skip finished compiles. Override the dir
+    with NTT_TEST_CACHE_DIR (run against a separate cache while a suite
+    holds .jax_cache — concurrent access implicated in the round-5
+    zstandard segfaults). zlib compression forced for the same reason
+    (see tests/conftest.py)."""
     import jax
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "NTT_TEST_CACHE_DIR", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from jax._src import compilation_cache as _cc
+    _cc.zstd = None
+    _cc.zstandard = None
 
 
 def _topology_sharding():
