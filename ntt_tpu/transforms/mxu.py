@@ -242,9 +242,13 @@ def matfold_tw_tables(field: Field, n: int, inverse: bool,
                     Tr = jax.jit(lambda: power_matrix_chunked(
                         field, w, BASE, s0))()
                 if shift is not None:
+                    # chunked for the same reason as the merged-table
+                    # coset fold below (CIOS temporaries)
+                    from .core import chunked_along_axis
                     cb = jnp.asarray(host_powers_fast(field, shift, s0))
-                    Tr = jax.jit(lambda a, b: limbs.mont_mul(
-                        a, b[:, None, :], field))(Tr, cb)
+                    Tr = jax.jit(lambda a, b: chunked_along_axis(
+                        lambda c, t: limbs.mont_mul(c, t, field),
+                        a, axis=2, also=b[:, None, :]))(Tr, cb)
                 out.append(TwStackResid(As, s0, Tr))
         elif l == 1 and fold0:
             # merged table M[k1, b, k0] = w_n^{(BASE*k1+k0)*b} (* c^b):
@@ -258,14 +262,22 @@ def matfold_tw_tables(field: Field, n: int, inverse: bool,
                 from .core import power_matrix_chunked
                 M = jax.jit(lambda: power_matrix_chunked(
                     field, wn, BB, n2_l))()
-            def finish(M, cb=None):
-                if cb is not None:
-                    M = limbs.mont_mul(M, cb[:, None, :], field)
-                M4 = M.reshape(field.n_words, BASE, BASE, n2_l)
-                return M4.transpose(0, 1, 3, 2)    # [W, k1, b, k0]
             cb = None if shift is None else jnp.asarray(
                 host_powers_fast(field, shift, n2_l))
-            out.append(TwBatch(jax.jit(finish)(M, cb)))
+            if cb is not None:
+                # CHUNKED coset fold: a whole-table mont_mul's CIOS
+                # temporaries are data-sized x n_halves — at 2^24 the
+                # unchunked form asked the compiler for 36GB of HBM
+                # (TPU_CAMPAIGN_r5/suite.log attempt 1). Same chunk
+                # discipline as every data-path mont_mul.
+                from .core import chunked_along_axis
+                M = jax.jit(lambda a, b: chunked_along_axis(
+                    lambda c: limbs.mont_mul(c, b[:, None, :], field),
+                    a, axis=1))(M, cb)
+            M = jax.jit(lambda a: a.reshape(
+                field.n_words, BASE, BASE, n2_l).transpose(
+                    0, 1, 3, 2))(M)                # [W, k1, b, k0]
+            out.append(TwBatch(M))
         elif deep_fold[l]:
             tvals = [[pow(w, (k * s) % m_l, p) for k in range(BASE)]
                      for s in range(n2_l)]
